@@ -1,0 +1,171 @@
+"""Equalized learning-rate layers (ProgressiveGAN / StyleGAN2).
+
+Behavioral equivalent of the reference `ops.EqualLR` wrapper
+(gans/models/ops/common.py:158-210): weights are initialized N(0, 1/lr_mul) and scaled at
+runtime by `1/sqrt(fan_in) * gain * lr_mul`; biases are initialized to zero and scaled by
+`gain * lr_mul`.
+
+Parameters are stored in the torch layout ((out,in) for dense, (O,I,kh,kw) for conv,
+(I,O,kh,kw) for transposed conv) so that released-checkpoint conversion is a pure rename.
+The matmuls/convs map directly onto the TPU MXU via jnp.einsum / lax.conv_general_dilated.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .pad import pad2d
+
+__all__ = ["EqualLRDense", "EqualLRConv2d", "EqualLRConvTranspose2d", "RingConv2d"]
+
+
+def _normal_init(std: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) * std
+
+    return init
+
+
+class EqualLRDense(nn.Module):
+    """Equal-LR linear layer: y = (x @ (W * scale).T + b) * gain * lr_mul."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    gain: float = 1.0
+    lr_mul: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "weight", _normal_init(1.0 / self.lr_mul), (self.features, self.in_features)
+        )
+        scale = 1.0 / math.sqrt(self.in_features)
+        gain_ = self.gain * self.lr_mul
+        y = jnp.einsum(
+            "...i,oi->...o", x, (w * scale).astype(x.dtype),
+            preferred_element_type=x.dtype,
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(x.dtype)
+        return y * gain_
+
+
+class EqualLRConv2d(nn.Module):
+    """Equal-LR Conv2d (zero padding handled by the caller), NCHW.
+
+    fan_in = in_ch * kh * kw (matches torch Conv2d weight[0].numel()).
+    """
+
+    in_ch: int
+    out_ch: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int] = (1, 1)
+    use_bias: bool = True
+    gain: float = 1.0
+    lr_mul: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        w = self.param(
+            "weight", _normal_init(1.0 / self.lr_mul), (self.out_ch, self.in_ch, kh, kw)
+        )
+        scale = 1.0 / math.sqrt(self.in_ch * kh * kw)
+        gain_ = self.gain * self.lr_mul
+        y = lax.conv_general_dilated(
+            x,
+            (w * scale).astype(x.dtype),
+            window_strides=self.stride,
+            padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+            y = y + b.reshape(1, -1, 1, 1).astype(x.dtype)
+        return y * gain_
+
+
+class EqualLRConvTranspose2d(nn.Module):
+    """Equal-LR ConvTranspose2d, NCHW, torch semantics (stride, padding).
+
+    NOTE: the reference computes fan_in from `weight[0].numel()` of a torch
+    ConvTranspose2d whose weight layout is (in, out, kh, kw) — i.e. fan_in is
+    out_ch * kh * kw (reference common.py:172-173). We replicate that exactly.
+    """
+
+    in_ch: int
+    out_ch: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    gain: float = 1.0
+    lr_mul: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        w = self.param(
+            "weight", _normal_init(1.0 / self.lr_mul), (self.in_ch, self.out_ch, kh, kw)
+        )
+        scale = 1.0 / math.sqrt(self.out_ch * kh * kw)
+        gain_ = self.gain * self.lr_mul
+        # conv_transpose(x, W) == conv(dilate(x, s), flip(W).T, pad = k-1-p)
+        w_t = jnp.flip(w, axis=(-2, -1)).transpose(1, 0, 2, 3)
+        ph, pw = self.padding
+        sh, sw = self.stride
+        y = lax.conv_general_dilated(
+            x,
+            (w_t * scale).astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+            y = y + b.reshape(1, -1, 1, 1).astype(x.dtype)
+        return y * gain_
+
+
+class RingConv2d(nn.Module):
+    """Pad(ring/replicate or reflect) + Conv2d (+ optional equal LR).
+
+    Equivalent of the reference `ops.Conv2d` composite (common.py:187-210).
+    """
+
+    in_ch: int
+    out_ch: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = True
+    ring: bool = False
+    pad_mode: str = "replicate"
+    equal_lr: bool = True
+    gain: float = 1.0
+    lr_mul: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        if self.padding != 0:
+            x = pad2d(x, self.padding, ring=self.ring, mode=self.pad_mode)
+        assert self.equal_lr, "non-equal-LR conv not used by any reference model"
+        return EqualLRConv2d(
+            in_ch=self.in_ch,
+            out_ch=self.out_ch,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            stride=(self.stride, self.stride),
+            use_bias=self.use_bias,
+            gain=self.gain,
+            lr_mul=self.lr_mul,
+            name="conv",
+        )(x)
