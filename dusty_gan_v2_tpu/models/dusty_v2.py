@@ -1,0 +1,523 @@
+"""DUSty v2 (WACV'23): StyleGAN2-style generator of LiDAR range images as neural fields
+over laser angles, plus a StyleGAN2-residual discriminator.
+
+Behavioral equivalent of reference `gans/models/dusty_v2.py` with these TPU-native
+choices:
+  - every modulated conv is a per-sample 1x1 matmul (einsum on the MXU), not a grouped
+    conv trick;
+  - resampling is a fused lhs-dilated depthwise conv (ops/resample.py), not upfirdn2d;
+  - the subgrid-consistency inverse shift (reference dusty_v2.py:291-297's circular-cat +
+    grid_sample) is a fractional circular roll implemented with two gathers + lerp;
+  - mixed precision is a bfloat16 policy (params fp32, per-block compute dtype), not
+    fp16 autocast + GradScaler.
+
+Reference anchors: MappingNetwork dusty_v2.py:13-29, Head :32-57, SynthesisBlock
+:60-183, SynthesisNetwork :186-308, Generator :311-322, ResidualBlock :325-345,
+Discriminator :348-396.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import (
+    EqualLRDense,
+    FourierFeature,
+    FusedLeakyReLU,
+    ModConv2d,
+    NoiseInjection,
+    RingConv2d,
+    fourier_out_ch,
+    make_resample,
+    minibatch_stddev,
+    resample,
+)
+from .base import GeneratorMixin
+from .dusty_v1 import apply_raydrop
+from .heads import resolve_act
+
+__all__ = [
+    "MappingNetwork",
+    "SynthesisNetwork",
+    "Generator",
+    "Discriminator",
+    "circular_translate_w",
+]
+
+
+class MappingNetwork(nn.Module):
+    """PixelNorm + depth x (equal-LR Linear(lr_mul=0.01, gain=sqrt2) + LeakyReLU 0.2)."""
+
+    in_ch: int
+    out_ch: int
+    depth: int = 2
+
+    @nn.compact
+    def __call__(self, z):
+        from ..ops import pixel_norm
+
+        h = pixel_norm(z, axis=1)
+        ch = self.in_ch
+        for i in range(self.depth):
+            h = EqualLRDense(
+                in_features=ch,
+                features=self.out_ch,
+                gain=math.sqrt(2.0),
+                lr_mul=0.01,
+                name=f"fc{i}",
+            )(h)
+            h = jnp.where(h >= 0, h, 0.2 * h)
+            ch = self.out_ch
+        return h
+
+
+class Head(nn.Module):
+    """Multi-head 1x1 ModConv (demod=False, ema=True) — StyleGAN2 ToRGB analogue."""
+
+    in_ch: int
+    mod_ch: int
+    out_ch: Tuple[dict, ...]
+
+    @nn.compact
+    def __call__(self, x, style, train: bool = False) -> Dict[str, jnp.ndarray]:
+        out = {}
+        for o in self.out_ch:
+            if o["ch"] == 0:
+                continue
+            out[o["name"]] = ModConv2d(
+                in_ch=self.in_ch,
+                out_ch=o["ch"],
+                mod_ch=self.mod_ch,
+                ksize=1,
+                stride=1,
+                padding=0,
+                demod=False,
+                ema=True,
+                name=o["name"],
+            )(x, style, train=train)
+        return out
+
+
+def circular_translate_w(x: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Fractional circular shift along W: out[..., i] = lerp(x[i+floor(d)], x[i+floor(d)+1]).
+
+    Exactly reproduces the reference's circular-cat + bilinear grid_sample inverse shift
+    (dusty_v2.py:291-297) for horizontal-only translations.
+    x: (B, C, H, W); delta: (B,) shift in pixels.
+    """
+    W = x.shape[-1]
+    i0 = jnp.floor(delta)
+    frac = (delta - i0)[:, None, None, None].astype(x.dtype)
+    i0 = i0.astype(jnp.int32)
+    base = jnp.arange(W, dtype=jnp.int32)[None]  # (1, W)
+    idx0 = (base + i0[:, None]) % W  # (B, W)
+    idx1 = (idx0 + 1) % W
+    g0 = jnp.take_along_axis(x, idx0[:, None, None, :], axis=-1)
+    g1 = jnp.take_along_axis(x, idx1[:, None, None, :], axis=-1)
+    return g0 * (1 - frac) + g1 * frac
+
+
+class SynthesisBlock(nn.Module):
+    """One scale: resample-up -> Fourier-PE concat -> 1-2 modulated 1x1 convs (+noise,
+    fused leaky ReLU) -> multi-head skip accumulation (reference dusty_v2.py:60-183)."""
+
+    in_ch: int  # 0 for the first block
+    mid_ch: int
+    out_ch: Tuple[dict, ...]
+    mod_ch: int
+    resolution: Tuple[int, int]
+    up: int = 2
+    resample_window: Tuple[float, ...] = (1, 3, 3, 1)
+    use_noise: bool = True
+    use_pe: bool = True
+    pe_type: str = "random"
+    pe_ch: int = 512
+    pe_scale_offset: Tuple[int, int] = (3, -1)
+    ring: bool = True
+    dtype: str = "float32"
+
+    @property
+    def is_first(self) -> bool:
+        return self.in_ch == 0
+
+    @property
+    def num_conv(self) -> int:
+        return 1 if self.is_first else 2
+
+    @nn.compact
+    def __call__(
+        self,
+        h: Optional[jnp.ndarray],
+        skip: Optional[Dict[str, jnp.ndarray]],
+        ws: Tuple[jnp.ndarray, ...],
+        angle: jnp.ndarray,
+        train: bool = False,
+        fixed_noise: Optional[Sequence] = None,
+    ):
+        dtype = jnp.dtype(self.dtype)
+        ws = iter(ws)
+        up_plan = (
+            make_resample(
+                up=self.up, window=self.resample_window, ring=self.ring, direction="hw"
+            )
+            if self.up > 1
+            else None
+        )
+
+        if h is not None:
+            h = resample(h.astype(dtype), up_plan) if up_plan is not None else h.astype(dtype)
+        if self.use_pe:
+            pe_in = fourier_out_ch(
+                self.pe_ch, self.pe_type, self.resolution, self.pe_scale_offset
+            )
+            h_pe = FourierFeature(
+                resolution=tuple(self.resolution),
+                basis_scale=self.pe_type,
+                num_freqs=self.pe_ch,
+                L_offset=tuple(self.pe_scale_offset),
+                name="pe",
+            )(angle.astype(dtype))
+            h = h_pe if h is None else jnp.concatenate([h, h_pe], axis=1)
+        else:
+            pe_in = 0
+
+        def noise_rng(i):
+            if fixed_noise is not None:
+                return None
+            return self.make_rng("noise")
+
+        h = ModConv2d(
+            in_ch=self.in_ch + pe_in,
+            out_ch=self.mid_ch,
+            mod_ch=self.mod_ch,
+            ksize=1,
+            stride=1,
+            padding=0,
+            use_bias=False,
+            ema=True,
+            name="conv1",
+        )(h, next(ws), train=train)
+        if self.use_noise:
+            h = NoiseInjection(name="noise1")(
+                h,
+                rng=noise_rng(0),
+                fixed_noise=None if fixed_noise is None else fixed_noise[0],
+            )
+        h = FusedLeakyReLU(self.mid_ch, name="bias_act1")(h)
+
+        if not self.is_first:
+            h = ModConv2d(
+                in_ch=self.mid_ch,
+                out_ch=self.mid_ch,
+                mod_ch=self.mod_ch,
+                ksize=1,
+                stride=1,
+                padding=0,
+                use_bias=False,
+                ema=True,
+                name="conv2",
+            )(h, next(ws), train=train)
+            if self.use_noise:
+                h = NoiseInjection(name="noise2")(
+                    h,
+                    rng=noise_rng(1),
+                    fixed_noise=None if fixed_noise is None else fixed_noise[1],
+                )
+            h = FusedLeakyReLU(self.mid_ch, name="bias_act2")(h)
+
+        o = Head(self.mid_ch, self.mod_ch, tuple(self.out_ch), name="head")(
+            h, next(ws), train=train
+        )
+
+        # skip accumulation in float32 (reference dusty_v2.py:174-178)
+        for k in o:
+            o[k] = o[k].astype(jnp.float32)
+            if skip is not None:
+                o[k] = o[k] + resample(skip[k], up_plan)
+        return h, o
+
+
+def downsample_angle(angle: jnp.ndarray, plan) -> jnp.ndarray:
+    """Downsample an angle grid by resampling its (sin, cos) embedding then atan2
+    (reference dusty_v2.py:135-140) — keeps azimuth periodicity exact."""
+    C = angle.shape[1]
+    periodic = jnp.concatenate([jnp.sin(angle), jnp.cos(angle)], axis=1)
+    periodic = resample(periodic, plan)
+    return jnp.arctan2(periodic[:, :C], periodic[:, C:])
+
+
+class SynthesisNetwork(nn.Module):
+    """5-block skip-accumulating synthesis over a multiscale angle pyramid
+    (reference dusty_v2.py:186-308)."""
+
+    in_ch: int
+    out_ch: Tuple[dict, ...]
+    ch_base: int = 64
+    ch_max: int = 512
+    resolution: Tuple[int, int] = (64, 256)
+    ring: bool = True
+    layers: Tuple[int, ...] = (2, 2, 2, 2)
+    num_fp16_layers: int = -1  # on TPU: number of trailing blocks run in bfloat16
+    use_noise: bool = True
+    pe_type: str = "random"
+    pe_scale_offset: Tuple[int, int] = (3, -1)
+    aug_coords: bool = True
+    aug_coords_blitting: bool = False
+    output_scale: float = 0.25
+    compute_dtype: str = "float32"  # "bfloat16" enables the mixed-precision path
+
+    @property
+    def num_blocks(self) -> int:
+        return len(self.layers) + 1
+
+    @property
+    def num_styles(self) -> int:
+        return self.num_blocks * 2
+
+    def block_dtypes(self):
+        """Per-block compute dtype; the reference's per-layer fp16 flags (fp16 applied to
+        the last `num_fp16_layers` blocks, or all when -1) mapped to bfloat16."""
+        n = self.num_blocks
+        out = []
+        for i in range(n):
+            i_rev = n - 1 - i
+            use_low = (
+                self.compute_dtype == "bfloat16"
+                and (self.num_fp16_layers == -1 or i_rev < self.num_fp16_layers)
+            )
+            out.append("bfloat16" if use_low else "float32")
+        return out
+
+    @nn.compact
+    def __call__(
+        self,
+        ws: jnp.ndarray,
+        angle: jnp.ndarray,
+        train: bool = False,
+        fixed_noise=None,
+    ) -> Dict[str, jnp.ndarray]:
+        B, N, _ = ws.shape
+        assert N == self.num_styles, f"{self.num_styles} != {N}"
+        H, W = self.resolution
+        scales = (1,) + tuple(self.layers)
+        n_layers = len(scales)
+        ch = lambda i: min(self.ch_base << (len(self.layers) - i), self.ch_max)
+
+        # callers may pass a (1,2,H,W) angle LUT; broadcast to batch
+        angle = jnp.broadcast_to(angle, (B, *angle.shape[1:]))
+
+        do_aug = train and self.aug_coords
+        if do_aug:
+            # random horizontal angle shift for subgrid consistency
+            # (reference dusty_v2.py:264-274)
+            shift01 = jax.random.uniform(self.make_rng("aug"), (B,))
+            if self.aug_coords_blitting:
+                shift01 = jnp.round(shift01 * W) / W
+            shift = shift01 * (2.0 * np.pi)
+            angle = angle.at[:, 1].add(shift[:, None, None])
+
+        # multiscale angle pyramid (top-down repeated sin/cos downsampling)
+        down_plan = make_resample(down=2, window=(1, 3, 3, 1), ring=self.ring)
+        pyramid = [angle]
+        for s in scales[:0:-1]:
+            if s > 1:
+                angle = downsample_angle(angle, down_plan)
+            pyramid.insert(0, angle)
+
+        dtypes = self.block_dtypes()
+        res_i = np.array([H, W]) // int(np.prod(self.layers))
+        h, skip, wi = None, None, 0
+        for i, s in enumerate(scales):
+            res_i = res_i * s
+            blk = SynthesisBlock(
+                in_ch=ch(i - 1) if i != 0 else 0,
+                mid_ch=ch(i),
+                out_ch=tuple(self.out_ch),
+                mod_ch=self.in_ch,
+                resolution=(int(res_i[0]), int(res_i[1])),
+                up=s,
+                use_noise=self.use_noise,
+                use_pe=s > 1 or i == 0,
+                pe_type=self.pe_type,
+                pe_scale_offset=tuple(self.pe_scale_offset),
+                ring=self.ring,
+                dtype=dtypes[i],
+                name=f"b{i}",
+            )
+            fn = None if fixed_noise is None else fixed_noise[i]
+            h, skip = blk(
+                h, skip, (ws[:, wi], ws[:, wi + 1], ws[:, wi + 2]), pyramid[i],
+                train=train, fixed_noise=fn,
+            )
+            wi += blk.num_conv
+
+        if do_aug:
+            # cancel the angular shift in image space: translate by +shift/(2pi)*W px
+            delta = shift / (2.0 * np.pi) * W
+            skip = {k: circular_translate_w(v, delta) for k, v in skip.items()}
+
+        out = {}
+        for o in self.out_ch:
+            if o["ch"] == 0:
+                continue
+            k = o["name"]
+            out[k] = resolve_act(o.get("act"))(skip[k] * self.output_scale)
+        return out
+
+
+class Generator(nn.Module, GeneratorMixin):
+    """Mapping + synthesis + ray-drop measurement (reference dusty_v2.py:311-322)."""
+
+    mapping_kwargs: dict
+    synthesis_kwargs: dict
+    measurement_kwargs: dict
+    w_avg_decay: float = 0.995
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(
+        self,
+        z,
+        angle,
+        *,
+        train: bool = False,
+        style_mixing: bool = False,
+        truncation_psi: float = 1.0,
+        input_w: bool = False,
+        gumbel_noise=None,
+        fixed_noise=None,
+    ):
+        mapping = MappingNetwork(**self.mapping_kwargs, name="mapping_network")
+        syn_kwargs = dict(self.synthesis_kwargs)
+        syn_kwargs.setdefault("compute_dtype", self.compute_dtype)
+        synthesis = SynthesisNetwork(**syn_kwargs, name="synthesis_network")
+        w = self._style(
+            mapping,
+            z,
+            synthesis.num_styles,
+            self.mapping_kwargs["in_ch"],
+            train=train,
+            style_mixing=style_mixing,
+            truncation_psi=truncation_psi,
+            input_w=input_w,
+        )
+        o = synthesis(w, angle, train=train, fixed_noise=fixed_noise)
+        o["w"] = w
+        rng = None
+        if gumbel_noise is None:
+            rng = self.make_rng("gumbel")
+        return apply_raydrop(
+            o,
+            rng=rng,
+            raydrop_const=float(self.measurement_kwargs.get("raydrop_const", -1)),
+            gumbel_temperature=float(
+                self.measurement_kwargs.get("gumbel_temperature", 1.0)
+            ),
+            logistic_noise=gumbel_noise,
+        )
+
+
+class ResidualBlock(nn.Module):
+    """conv3x3 -> blur-downsample conv3x3 stride2, plus 1x1 stride-2 skip, /sqrt(2)
+    (reference dusty_v2.py:325-345)."""
+
+    in_ch: int
+    out_ch: int
+    ring: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        blur = make_resample(window=(1, 3, 3, 1), ring=self.ring)
+        h = RingConv2d(
+            self.in_ch, self.in_ch, 3, 1, 1, use_bias=False, ring=self.ring, name="conv1"
+        )(x)
+        h = FusedLeakyReLU(self.in_ch, name="bias_act1")(h)
+        h = resample(h, blur)
+        h = RingConv2d(
+            self.in_ch, self.out_ch, 3, 2, 1, use_bias=False, ring=self.ring, name="conv2"
+        )(h)
+        h = FusedLeakyReLU(self.out_ch, name="bias_act2")(h)
+        s = resample(x, blur)
+        s = RingConv2d(
+            self.in_ch, self.out_ch, 1, 2, 0, use_bias=False, ring=self.ring, name="skip"
+        )(s)
+        return (h + s) / math.sqrt(2.0)
+
+
+class Discriminator(nn.Module):
+    """StyleGAN2-style residual discriminator with BlurVH pre-blur and minibatch-stddev
+    epilogue (reference dusty_v2.py:348-396)."""
+
+    in_ch: int
+    ch_base: int = 32
+    ch_max: int = 512
+    mbdis_group: int = 4
+    mbdis_feat: int = 1
+    resolution: Tuple[int, int] = (64, 512)
+    ring: bool = True
+    num_fp16_layers: int = -1
+    pre_blur: bool = True
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..ops import EqualLRConv2d, blur_vh
+
+        res_in = tuple(self.resolution)
+        n_down = int(np.log2(min(res_in) / 4))
+        res_out = tuple(r >> n_down for r in res_in)
+        ch = lambda i: min(self.ch_base << i, self.ch_max)
+
+        n_layers = (1 if self.pre_blur else 0) + 2 + n_down
+        low = jnp.dtype("bfloat16") if self.compute_dtype == "bfloat16" else jnp.dtype(
+            "float32"
+        )
+
+        def layer_dtype(i):
+            use_low = self.num_fp16_layers == -1 or i < self.num_fp16_layers
+            return low if use_low else jnp.dtype("float32")
+
+        i = 0
+        h = x
+        if self.pre_blur:
+            h = blur_vh(h.astype(layer_dtype(i)), ring=self.ring)
+            i += 1
+        in_ch = self.in_ch * 2 if self.pre_blur else self.in_ch
+        h = RingConv2d(
+            in_ch, ch(0), 1, 1, 0, use_bias=False, ring=self.ring, name="stem"
+        )(h.astype(layer_dtype(i)))
+        i += 1
+        h = FusedLeakyReLU(ch(0), name="stem_act")(h.astype(layer_dtype(i)))
+        i += 1
+        for j in range(n_down):
+            h = ResidualBlock(ch(j), ch(j + 1), self.ring, name=f"res{j}")(
+                h.astype(layer_dtype(i))
+            )
+            i += 1
+
+        h = h.astype(jnp.float32)
+        # epilogue (the reference hardcodes ch(4); ch(n_down) is identical at the
+        # shipped 64-high resolution and correct for other resolutions)
+        ch_epi = ch(n_down)
+        h = minibatch_stddev(h, group=self.mbdis_group, features=self.mbdis_feat)
+        h = RingConv2d(
+            ch_epi + self.mbdis_feat, ch_epi, 3, 1, 1, use_bias=False, ring=self.ring,
+            name="epi_conv",
+        )(h)
+        h = FusedLeakyReLU(ch_epi, name="epi_act1")(h)
+        h = h.reshape(h.shape[0], -1)
+        h = EqualLRDense(
+            in_features=ch_epi * int(np.prod(res_out)),
+            features=ch_epi,
+            use_bias=False,
+            name="fc1",
+        )(h)
+        h = FusedLeakyReLU(ch_epi, name="epi_act2")(h)
+        h = EqualLRDense(in_features=ch_epi, features=1, name="fc2")(h)
+        return h

@@ -4,7 +4,7 @@ Re-exports every op used by the model zoo; the TPU-native equivalent of the refe
 `gans/models/ops/` layer (L1 in SURVEY.md).
 """
 
-from .act import fused_leaky_relu, fused_leaky_relu_pallas
+from .act import FusedLeakyReLU, fused_leaky_relu, fused_leaky_relu_pallas
 from .fourier import FourierFeature, fourier_out_ch
 from .gumbel import gumbel_sigmoid, sample_logistic
 from .linear import EqualLRConv2d, EqualLRConvTranspose2d, EqualLRDense, RingConv2d
@@ -15,6 +15,7 @@ from .pad import filter2d, pad2d, pad_ring
 from .resample import ResamplePlan, blur_vh, make_resample, resample
 
 __all__ = [
+    "FusedLeakyReLU",
     "fused_leaky_relu",
     "fused_leaky_relu_pallas",
     "FourierFeature",

@@ -18,10 +18,11 @@ from __future__ import annotations
 import functools
 import math
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fused_leaky_relu", "fused_leaky_relu_pallas"]
+__all__ = ["fused_leaky_relu", "fused_leaky_relu_pallas", "FusedLeakyReLU"]
 
 
 def fused_leaky_relu(
@@ -37,6 +38,25 @@ def fused_leaky_relu(
         shape[channel_axis] = bias.shape[0]
         x = x + bias.reshape(shape).astype(x.dtype)
     return jnp.where(x >= 0, x, x * negative_slope) * scale
+
+
+class FusedLeakyReLU(nn.Module):
+    """Learned per-channel bias + leaky ReLU + sqrt(2) scale (reference FusedLeakyReLU
+    module, fused_act.py:93-109)."""
+
+    ch: int
+    use_bias: bool = True
+    negative_slope: float = 0.2
+    scale: float = math.sqrt(2.0)
+
+    @nn.compact
+    def __call__(self, x):
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.ch,))
+            if self.use_bias
+            else None
+        )
+        return fused_leaky_relu(x, bias, self.negative_slope, self.scale)
 
 
 # ---------------------------------------------------------------------------

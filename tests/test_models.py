@@ -1,0 +1,269 @@
+"""Model-zoo tests: shapes, style plumbing, buffers, and the subgrid-consistency shift."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from dusty_gan_v2_tpu.models import build_discriminator, build_generator
+from dusty_gan_v2_tpu.models.dusty_v2 import circular_translate_w
+
+RES = (16, 128)  # small for test speed; same aspect family as 64x512
+
+G_CFG_V2 = {
+    "arch": "dusty_v2",
+    "mapping_kwargs": {"in_ch": 64, "out_ch": 64, "depth": 2},
+    "synthesis_kwargs": {
+        "in_ch": 64,
+        "out_ch": (
+            {"name": "image", "ch": 1, "act": "tanh"},
+            {"name": "raydrop_logit", "ch": 1, "act": None},
+        ),
+        "ch_base": 8,
+        "ch_max": 64,
+        "resolution": RES,
+        "layers": (2, 2, 2, 2),
+        "ring": True,
+        "use_noise": False,
+        "pe_type": "random",
+        "pe_scale_offset": (3, -1),
+        "aug_coords": True,
+        "aug_coords_blitting": False,
+    },
+    "measurement_kwargs": {"raydrop_const": -1, "gumbel_temperature": 1},
+}
+
+D_CFG_V2 = {
+    "arch": "dusty_v2",
+    "layer_kwargs": {
+        "in_ch": 1,
+        "ring": True,
+        "ch_base": 8,
+        "ch_max": 64,
+        "resolution": RES,
+        "mbdis_group": 4,
+        "mbdis_feat": 1,
+        "num_fp16_layers": -1,
+        "pre_blur": True,
+    },
+}
+
+
+def make_angle(res):
+    elev = np.linspace(0.05, -0.41, res[0], dtype=np.float32)
+    azim = np.linspace(np.pi, -np.pi, res[1], endpoint=False, dtype=np.float32)
+    grid = np.stack(np.meshgrid(elev, azim, indexing="ij"), axis=0)[None]
+    return jnp.asarray(grid)
+
+
+@pytest.fixture(scope="module")
+def g_v2():
+    G = build_generator(G_CFG_V2)
+    z = jnp.zeros((2, 64))
+    angle = make_angle(RES)
+    variables = G.init(
+        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+        z,
+        angle,
+    )
+    return G, variables, angle
+
+
+class TestDustyV2Generator:
+    def test_eval_forward_shapes(self, g_v2):
+        G, variables, angle = g_v2
+        z = jax.random.normal(jax.random.PRNGKey(2), (2, 64))
+        o = G.apply(
+            variables, z, angle, rngs={"gumbel": jax.random.PRNGKey(3)},
+            truncation_psi=0.7,
+        )
+        assert o["image"].shape == (2, 1, *RES)
+        assert o["raydrop_logit"].shape == (2, 1, *RES)
+        assert o["raydrop_mask"].shape == (2, 1, *RES)
+        assert o["image_orig"].shape == (2, 1, *RES)
+        assert o["w"].shape == (2, 10, 64)
+        img = np.asarray(o["image"])
+        mask = np.asarray(o["raydrop_mask"])
+        assert set(np.unique(mask)).issubset({0.0, 1.0})
+        # dropped rays are exactly the raydrop_const
+        assert np.allclose(img[mask == 0], -1.0)
+        assert np.abs(img).max() <= 1.0
+
+    def test_train_forward_updates_stats(self, g_v2):
+        G, variables, angle = g_v2
+        z = jax.random.normal(jax.random.PRNGKey(2), (2, 64))
+        o, new_state = G.apply(
+            variables,
+            z,
+            angle,
+            train=True,
+            style_mixing=True,
+            rngs={
+                "gumbel": jax.random.PRNGKey(3),
+                "styles": jax.random.PRNGKey(4),
+                "aug": jax.random.PRNGKey(5),
+            },
+            mutable=["stats"],
+        )
+        # w_avg moved away from zero
+        w_avg = np.asarray(new_state["stats"]["w_avg"])
+        assert np.abs(w_avg).max() > 0
+        # ema_var buffers updated on every modconv
+        flat = jax.tree_util.tree_leaves(new_state["stats"])
+        assert len(flat) > 5
+
+    def test_truncation_psi(self, g_v2):
+        G, variables, angle = g_v2
+        z = jax.random.normal(jax.random.PRNGKey(2), (2, 64))
+        noise = jnp.zeros((2, 1, *RES))
+        o1 = G.apply(variables, z, angle, truncation_psi=1.0, gumbel_noise=noise)
+        o0 = G.apply(variables, z, angle, truncation_psi=0.0, gumbel_noise=noise)
+        # psi=0 collapses styles to w_avg (zeros initially) -> ws all equal
+        assert np.allclose(np.asarray(o0["w"]), np.asarray(o0["w"][0:1]))
+        assert not np.allclose(np.asarray(o1["image"]), np.asarray(o0["image"]))
+
+    def test_style_mixing_crossover(self, g_v2):
+        G, variables, angle = g_v2
+        z = jax.random.normal(jax.random.PRNGKey(7), (4, 64))
+        o, _ = G.apply(
+            variables, z, angle, train=True, style_mixing=True,
+            rngs={
+                "gumbel": jax.random.PRNGKey(3),
+                "styles": jax.random.PRNGKey(4),
+                "aug": jax.random.PRNGKey(5),
+            },
+            mutable=["stats"],
+        )
+        w = np.asarray(o["w"])  # (B, 10, D)
+        # styles take at most two distinct values per batch element
+        for b in range(w.shape[0]):
+            uniq = np.unique(w[b], axis=0)
+            assert uniq.shape[0] <= 2
+
+    def test_input_w(self, g_v2):
+        G, variables, angle = g_v2
+        w = jax.random.normal(jax.random.PRNGKey(2), (2, 10, 64))
+        noise = jnp.zeros((2, 1, *RES))
+        o = G.apply(variables, w, angle, input_w=True, gumbel_noise=noise)
+        np.testing.assert_allclose(np.asarray(o["w"]), np.asarray(w))
+
+    def test_deterministic_gumbel(self, g_v2):
+        G, variables, angle = g_v2
+        z = jax.random.normal(jax.random.PRNGKey(2), (2, 64))
+        noise = jax.random.normal(jax.random.PRNGKey(9), (2, 1, *RES))
+        o1 = G.apply(variables, z, angle, gumbel_noise=noise)
+        o2 = G.apply(variables, z, angle, gumbel_noise=noise)
+        np.testing.assert_array_equal(np.asarray(o1["image"]), np.asarray(o2["image"]))
+
+
+class TestDustyV2Discriminator:
+    def test_logit_shape(self):
+        D = build_discriminator(D_CFG_V2)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 1, *RES))
+        variables = D.init(jax.random.PRNGKey(1), x)
+        y = D.apply(variables, x)
+        assert y.shape == (4, 1)
+
+    def test_grad_wrt_input(self):
+        # R1 penalty needs d logits / d image
+        D = build_discriminator(D_CFG_V2)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 1, *RES))
+        variables = D.init(jax.random.PRNGKey(1), x)
+        g = jax.grad(lambda x: jnp.sum(D.apply(variables, x)))(x)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
+
+
+class TestVanilla:
+    RES_V = (64, 128)  # vanilla projects to res/16; H must be >= 64 for reflect pads
+
+    def test_generator_and_discriminator(self):
+        g_cfg = {
+            "arch": "vanilla",
+            "synthesis_kwargs": {
+                "in_ch": 64,
+                "out_ch": ({"name": "image", "ch": 1, "act": None},),
+                "ch_base": 8,
+                "ch_max": 64,
+                "resolution": self.RES_V,
+                "ring": True,
+            },
+        }
+        G = build_generator(g_cfg)
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, 64))
+        variables = G.init(jax.random.PRNGKey(1), z)
+        o = G.apply(variables, z)
+        assert o["image"].shape == (2, 1, *self.RES_V)
+        assert o["w"].shape == (2, 1, 64)
+
+        D = build_discriminator(
+            {
+                "arch": "vanilla",
+                "layer_kwargs": {
+                    "in_ch": 1,
+                    "ring": True,
+                    "ch_base": 8,
+                    "ch_max": 64,
+                    "resolution": self.RES_V,
+                },
+            }
+        )
+        dv = D.init(jax.random.PRNGKey(2), o["image"])
+        y = D.apply(dv, o["image"])
+        assert y.shape == (2, 1, 1, 1)
+
+    def test_dusty_v1(self):
+        g_cfg = {
+            "arch": "dusty_v1",
+            "synthesis_kwargs": {
+                "in_ch": 64,
+                "out_ch": (
+                    {"name": "image", "ch": 1, "act": None},
+                    {"name": "raydrop_logit", "ch": 1, "act": None},
+                ),
+                "ch_base": 8,
+                "ch_max": 64,
+                "resolution": self.RES_V,
+                "ring": True,
+            },
+            "measurement_kwargs": {"raydrop_const": -1, "gumbel_temperature": 1},
+        }
+        G = build_generator(g_cfg)
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, 64))
+        variables = G.init(
+            {"params": jax.random.PRNGKey(1), "gumbel": jax.random.PRNGKey(2)}, z
+        )
+        o = G.apply(variables, z, rngs={"gumbel": jax.random.PRNGKey(3)})
+        assert set(o) >= {"image", "image_orig", "raydrop_logit", "raydrop_mask", "w"}
+
+
+class TestCircularTranslate:
+    @pytest.mark.parametrize("delta_frac", [0.0, 0.25, 0.73, 0.999])
+    def test_matches_torch_grid_sample(self, delta_frac):
+        """Oracle: the reference's circular-cat + affine grid_sample inverse shift."""
+        B, C, H, W = 2, 3, 4, 16
+        rng = np.random.RandomState(0)
+        x = rng.randn(B, C, H, W).astype(np.float32)
+        shift01 = np.array([delta_frac, 0.1], np.float32)  # per-sample in [0,1)
+
+        # torch oracle (dusty_v2.py:252-297 semantics)
+        v = torch.from_numpy(x)
+        v2 = torch.cat([v, v], dim=3)
+        t = torch.zeros(B, 2)
+        t[:, 1] = torch.from_numpy(shift01)  # [h, w] in turns
+        mat = torch.eye(3)[None].repeat(B, 1, 1)
+        mat[:, 0, 2] = t[:, 1]
+        grid = F.affine_grid(mat[:, :2], v2.shape, align_corners=False)
+        ref = F.grid_sample(v2, grid, mode="bilinear", align_corners=False)[..., :W]
+
+        delta = jnp.asarray(shift01) * W
+        got = circular_translate_w(jnp.asarray(x), delta)
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-5, atol=1e-5)
+
+    def test_identity_when_zero(self):
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 1, 2, 8).astype(np.float32))
+        got = circular_translate_w(x, jnp.zeros((1,)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(x))
