@@ -1,0 +1,467 @@
+"""Adaptive discriminator augmentation (StyleGAN2-ADA) for LiDAR range images.
+
+Behavioral equivalent of reference `gans/augment/adaptive_augment.py:294-623` with a
+TPU-native execution plan:
+
+  * The reference computes *data-dependent* padding from the sampled affine matrices
+    (get_padding, :271-291) — impossible under XLA's static shapes. Here the canvas is
+    padded statically and the warp samples with **wrap indexing along W** (exact for the
+    periodic azimuth axis — strictly more faithful to ring geometry than the reference's
+    bounded circular pad + zero fill) and reflect-then-zero along H with the reference's
+    own clamp ceiling (pad = H-1).
+  * upfirdn2d (wavelet SYM6 2x up / 2x down around the warp) is a fused lhs-dilated
+    depthwise conv (ops.upfirdn2d) instead of a CUDA kernel.
+  * grid_sample becomes a gather-based bilinear warp; JAX differentiates it to any order
+    (the reference needed a hand-written double-backward, :49-96).
+  * The adaptive-p controller is a pure function over (p, sign_cum, n_pred_cum); the
+    cross-device reduction is a jax.lax.psum when run under shard_map / pjit (the
+    reference used dist.all_reduce, :36-46).
+
+Parameter distributions, transform composition order, and the color-matrix math match
+the reference exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal
+
+from ..ops.pad import _pad_axis
+from ..ops.resample import upfirdn2d
+
+__all__ = ["AdaptiveAugment", "AdaState", "SYM2", "SYM6"]
+
+# Daubechies symlet coefficients (public wavelet constants)
+SYM2 = np.array(
+    [-0.12940952255092145, 0.22414386804185735, 0.836516303737469, 0.48296291314469025]
+)
+SYM6 = np.array(
+    [
+        0.015404109327027373,
+        0.0034907120842174702,
+        -0.11799011114819057,
+        -0.048311742585633,
+        0.4910559419267466,
+        0.787641141030194,
+        0.3379294217276218,
+        -0.07263752278646252,
+        -0.021060292512300564,
+        0.04472490177066578,
+        0.0017677118642428036,
+        -0.007800708325034148,
+    ]
+)
+
+
+def _make_fbank() -> np.ndarray:
+    """4-band wavelet filter bank for imgfilter (reference :347-366)."""
+    Hz_lo = SYM2
+    Hz_hi = Hz_lo * ((-1) ** np.arange(Hz_lo.size))
+    Hz_lo2 = np.convolve(Hz_lo, Hz_lo[::-1]) / 2
+    Hz_hi2 = np.convolve(Hz_hi, Hz_hi[::-1]) / 2
+    fbank = np.eye(4, 1)
+    for i in range(1, fbank.shape[0]):
+        fbank = np.dstack([fbank, np.zeros_like(fbank)]).reshape(fbank.shape[0], -1)[
+            :, :-1
+        ]
+        fbank = scipy.signal.convolve(fbank, [Hz_lo2])
+        fbank[i, (fbank.shape[1] - Hz_hi2.size) // 2 : (fbank.shape[1] + Hz_hi2.size) // 2] += Hz_hi2
+    return fbank.astype(np.float32)
+
+
+class AdaState(NamedTuple):
+    """Adaptive-p controller state (device arrays; lives in the train state)."""
+
+    p: jnp.ndarray  # scalar
+    sign_cum: jnp.ndarray  # scalar
+    n_pred_cum: jnp.ndarray  # scalar
+
+    @classmethod
+    def create(cls, p_init: float = 0.0) -> "AdaState":
+        z = jnp.zeros((), jnp.float32)
+        return cls(p=z + p_init, sign_cum=z, n_pred_cum=z)
+
+
+def _t2d(tx, ty):
+    B = tx.shape[0]
+    m = jnp.tile(jnp.eye(3, dtype=jnp.float32), (B, 1, 1))
+    m = m.at[:, 0, 2].set(tx)
+    return m.at[:, 1, 2].set(ty)
+
+
+def _s2d(sx, sy):
+    B = sx.shape[0]
+    m = jnp.tile(jnp.eye(3, dtype=jnp.float32), (B, 1, 1))
+    m = m.at[:, 0, 0].set(sx)
+    return m.at[:, 1, 1].set(sy)
+
+
+def _t3d(tx, ty, tz):
+    B = tx.shape[0]
+    m = jnp.tile(jnp.eye(4, dtype=jnp.float32), (B, 1, 1))
+    m = m.at[:, 0, 3].set(tx)
+    m = m.at[:, 1, 3].set(ty)
+    return m.at[:, 2, 3].set(tz)
+
+
+def _s3d(sx, sy, sz):
+    B = sx.shape[0]
+    m = jnp.tile(jnp.eye(4, dtype=jnp.float32), (B, 1, 1))
+    m = m.at[:, 0, 0].set(sx)
+    m = m.at[:, 1, 1].set(sy)
+    return m.at[:, 2, 2].set(sz)
+
+
+_AXIS = (1 / math.sqrt(3),) * 3
+
+
+def _luma_flip(i):
+    a = jnp.asarray(_AXIS + (0.0,), jnp.float32)
+    return jnp.eye(4) - 2.0 * jnp.outer(a, a)[None] * i[:, None, None]
+
+
+def _saturation_mat(i):
+    a = jnp.asarray(_AXIS + (0.0,), jnp.float32)
+    aa = jnp.outer(a, a)[None]
+    return aa + (jnp.eye(4)[None] - aa) * i[:, None, None]
+
+
+def _rotate3d(theta):
+    ux, uy, uz = _AXIS
+    eye = jnp.eye(3)[None]
+    cross = jnp.asarray(
+        [[0, -uz, uy], [uz, 0, -ux], [-uy, ux, 0]], jnp.float32
+    )[None]
+    outer = jnp.outer(jnp.asarray(_AXIS), jnp.asarray(_AXIS))[None]
+    s = jnp.sin(theta)[:, None, None]
+    c = jnp.cos(theta)[:, None, None]
+    rot = c * eye + s * cross + (1 - c) * outer
+    out = jnp.tile(jnp.eye(4, dtype=jnp.float32), (theta.shape[0], 1, 1))
+    return out.at[:, :3, :3].set(rot)
+
+
+def _maybe(rng, p, mat, prev):
+    """With prob p apply `mat`, else identity; compose onto prev (reference :248-253)."""
+    B = mat.shape[0]
+    sel = (jax.random.uniform(rng, (B, 1, 1)) < p).astype(mat.dtype)
+    eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)[None]
+    return (sel * mat + (1 - sel) * eye) @ prev
+
+
+class AdaptiveAugment:
+    """Stateless transform executor + pure-functional p controller.
+
+    Usage:
+        ada = AdaptiveAugment(policy=dict(lr_flip=1, ...), p_target=0.6, kimg=500)
+        img_aug = ada(img, p, rng)                      # inside the jitted train step
+        state = ada.cumulate(state, d_real_logits)       # inside train step (psum'd)
+        state, rt = ada.update_p(state)                  # every `lazy.ada` steps
+    """
+
+    def __init__(
+        self,
+        p_init: float = 0.0,
+        p_target: Optional[float] = 0.6,
+        p_max: float = 0.9,
+        kimg: float = 500,
+        lr_flip=0.0,
+        ud_flip=0.0,
+        int_trans=0.0,
+        iso_scale=0.0,
+        frac_trans=0.0,
+        brightness=0.0,
+        contrast=0.0,
+        luma_flip=0.0,
+        hue=0.0,
+        saturation=0.0,
+        imgfilter=0.0,
+        noise=0.0,
+        cutout=0.0,
+        wonly_trans: bool = False,
+        **_unused,
+    ):
+        self.p_init = float(p_init)
+        self.p_target = p_target
+        self.p_max = float(p_max)
+        self.kimg = float(kimg) * 1000.0
+        self.mul = dict(
+            lr_flip=float(lr_flip),
+            ud_flip=float(ud_flip),
+            int_trans=float(int_trans),
+            iso_scale=float(iso_scale),
+            frac_trans=float(frac_trans),
+            brightness=float(brightness),
+            contrast=float(contrast),
+            luma_flip=float(luma_flip),
+            hue=float(hue),
+            saturation=float(saturation),
+            imgfilter=float(imgfilter),
+            noise=float(noise),
+            cutout=float(cutout),
+        )
+        self.h_trans_factor = 0.0 if wonly_trans else 1.0
+        self.Hz_fbank = jnp.asarray(_make_fbank())
+        self.imgfilter_bands = (1.0, 1.0, 1.0, 1.0)
+        self.imgfilter_std = 1.0
+
+    def init_state(self) -> AdaState:
+        return AdaState.create(self.p_init)
+
+    # ----------------------------------------------------------------- p control
+    @staticmethod
+    def cumulate(state: AdaState, y_real: jnp.ndarray, axis_name=None) -> AdaState:
+        """Accumulate sign(D(real)) statistics (reference :368-370). When called inside
+        shard_map/pjit with an axis name, stats are psum'd over data shards."""
+        s = jnp.sum(jnp.sign(jax.lax.stop_gradient(y_real)))
+        n = jnp.asarray(y_real.shape[0] * 1.0)
+        if axis_name is not None:
+            s = jax.lax.psum(s, axis_name)
+            n = jax.lax.psum(n, axis_name)
+        return state._replace(sign_cum=state.sign_cum + s, n_pred_cum=state.n_pred_cum + n)
+
+    def update_p(self, state: AdaState) -> Tuple[AdaState, jnp.ndarray]:
+        """Adjust p toward p_target by sign(rt - target) * n/kimg (reference :372-384)."""
+        rt = state.sign_cum / jnp.maximum(state.n_pred_cum, 1.0)
+        if self.p_target is not None:
+            adjust = jnp.sign(rt - self.p_target) * state.n_pred_cum / self.kimg
+            p = jnp.clip(state.p + adjust, 0.0, self.p_max)
+        else:
+            p = state.p
+        z = jnp.zeros((), jnp.float32)
+        return AdaState(p=p, sign_cum=z, n_pred_cum=z), rt
+
+    # ----------------------------------------------------------------- transforms
+    def sample_affine(self, rng, B: int, height: int, width: int, p) -> jnp.ndarray:
+        ks = jax.random.split(rng, 10)
+        G = jnp.tile(jnp.eye(3, dtype=jnp.float32), (B, 1, 1))
+        ones = jnp.ones((B,), jnp.float32)
+        if self.mul["lr_flip"] > 0:
+            flip = jax.random.randint(ks[0], (B,), 0, 2).astype(jnp.float32)
+            G = _maybe(ks[1], p * self.mul["lr_flip"], _s2d(1 - 2 * flip, ones), G)
+        if self.mul["ud_flip"] > 0:
+            flip = jax.random.randint(ks[2], (B,), 0, 2).astype(jnp.float32)
+            G = _maybe(ks[3], p * self.mul["ud_flip"], _s2d(ones, 1 - 2 * flip), G)
+        if self.mul["int_trans"] > 0:
+            t = jax.random.uniform(ks[4], (2, B), minval=-0.125, maxval=0.125)
+            ty = jnp.round(t[0] * height) * self.h_trans_factor
+            tx = jnp.round(t[1] * width)
+            G = _maybe(ks[5], p * self.mul["int_trans"], _t2d(tx, ty), G)
+        if self.mul["iso_scale"] > 0:
+            s = jnp.exp(jax.random.normal(ks[6], (B,)) * (0.2 * math.log(2.0)))
+            G = _maybe(ks[7], p * self.mul["iso_scale"], _s2d(ones, s), G)
+        if self.mul["frac_trans"] > 0:
+            t = jax.random.normal(ks[8], (2, B)) * 0.125
+            ty = t[0] * height * self.h_trans_factor
+            tx = t[1] * width
+            G = _maybe(ks[9], p * self.mul["frac_trans"], _t2d(tx, ty), G)
+        return G
+
+    def sample_color(self, rng, B: int, p) -> jnp.ndarray:
+        ks = jax.random.split(rng, 10)
+        C = jnp.tile(jnp.eye(4, dtype=jnp.float32), (B, 1, 1))
+        if self.mul["brightness"] > 0:
+            b = jax.random.normal(ks[0], (B,)) * 0.2
+            C = _maybe(ks[1], p * self.mul["brightness"], _t3d(b, b, b), C)
+        if self.mul["contrast"] > 0:
+            c = jnp.exp(jax.random.normal(ks[2], (B,)) * (0.5 * math.log(2.0)))
+            C = _maybe(ks[3], p * self.mul["contrast"], _s3d(c, c, c), C)
+        if self.mul["luma_flip"] > 0:
+            f = jax.random.randint(ks[4], (B,), 0, 2).astype(jnp.float32)
+            C = _maybe(ks[5], p * self.mul["luma_flip"], _luma_flip(f), C)
+        if self.mul["hue"] > 0:
+            theta = jax.random.uniform(ks[6], (B,), minval=-math.pi, maxval=math.pi)
+            C = _maybe(ks[7], p * self.mul["hue"], _rotate3d(theta), C)
+        if self.mul["saturation"] > 0:
+            s = jnp.exp(jax.random.normal(ks[8], (B,)) * math.log(2.0))
+            C = _maybe(ks[9], p * self.mul["saturation"], _saturation_mat(s), C)
+        return C
+
+    # ----------------------------------------------------------------- warp
+    def _geometric(self, img: jnp.ndarray, G: jnp.ndarray) -> jnp.ndarray:
+        """2x wavelet upsample -> inverse-affine bilinear warp (wrap W / reflect+zero H)
+        -> 2x wavelet downsample. Static shapes throughout."""
+        B, C, H, W = img.shape
+        k = jnp.asarray(SYM6, img.dtype)
+        kl = len(SYM6)
+        pad_k = kl // 4  # 3
+
+        # static reflect pad along H (reference clamps its dynamic pad at H-1)
+        py = H - 1
+        img = _pad_axis(img, -2, py, py, "reflect")
+
+        # 2x upsample: W circularly padded by c then cropped (exact ring boundary),
+        # H zero-extended beyond the reflect apron (reference pad arithmetic :496-503)
+        up_pad0, up_pad1 = (kl + 2 - 1) // 2, (kl - 2) // 2
+        c = kl  # circular margin; filter never sees a synthetic W edge
+        # NOTE: ops.upfirdn2d cross-correlates while the reference's upfirdn convolves
+        # (flips); SYM6 is asymmetric, so pass the flipped kernel here and the plain
+        # kernel on the way down (the reference's k/k_flip pair, :474-535).
+        kc = jnp.flip(k)
+        img = _pad_axis(img, -1, c, c, "circular")
+        img = upfirdn2d(
+            img, kc.reshape(1, -1), up=(1, 2),
+            pad=(up_pad0 - 2 * c, up_pad1 - 2 * c, 0, 0),
+        )
+        img = upfirdn2d(img, kc.reshape(-1, 1), up=(2, 1), pad=(0, 0, up_pad0, up_pad1))
+        Hs, Ws = img.shape[-2:]
+        assert Ws == 2 * W, (Ws, W)
+
+        # affine bookkeeping in centered original-pixel coordinates, then conjugations
+        # for padding / upsampling / normalization — same algebra as reference :484-523.
+        G_inv = jnp.linalg.inv(G)
+        # symmetric static pad: no origin shift needed for W (wrapped); H pad symmetric
+        S2 = jnp.diag(jnp.asarray([2.0, 2.0, 1.0]))
+        S2i = jnp.diag(jnp.asarray([0.5, 0.5, 1.0]))
+        Thalf = jnp.asarray([[1, 0, -0.5], [0, 1, -0.5], [0, 0, 1]], jnp.float32)
+        Thalf_i = jnp.asarray([[1, 0, 0.5], [0, 1, 0.5], [0, 0, 1]], jnp.float32)
+        G_inv = S2[None] @ G_inv @ S2i[None]
+        G_inv = Thalf[None] @ G_inv @ Thalf_i[None]
+
+        # output canvas (same as reference): 2*(H+2*pad_k) x 2*(W+2*pad_k)
+        Ho, Wo = (H + 2 * pad_k) * 2, (W + 2 * pad_k) * 2
+        # normalized-coordinate conjugation
+        Sn = jnp.diag(jnp.asarray([2.0 / Ws, 2.0 / Hs, 1.0]))
+        Sni = jnp.diag(jnp.asarray([Wo / 2.0, Ho / 2.0, 1.0]))
+        Gn = Sn[None] @ G_inv @ Sni[None]
+
+        # target grid (align_corners=False pixel centers), homogeneous
+        xt = (2.0 * jnp.arange(Wo) + 1.0) / Wo - 1.0
+        yt = (2.0 * jnp.arange(Ho) + 1.0) / Ho - 1.0
+        grid = jnp.stack(
+            [
+                jnp.broadcast_to(xt[None, :], (Ho, Wo)),
+                jnp.broadcast_to(yt[:, None], (Ho, Wo)),
+                jnp.ones((Ho, Wo)),
+            ],
+            axis=-1,
+        )  # (Ho, Wo, 3)
+        src = jnp.einsum("bij,hwj->bhwi", Gn[:, :2], grid)  # (B,Ho,Wo,2) normalized
+        u = ((src[..., 0] + 1.0) * Ws - 1.0) / 2.0  # source x (pixels)
+        v = ((src[..., 1] + 1.0) * Hs - 1.0) / 2.0  # source y (pixels)
+
+        img = _bilinear_gather_wrapw(img, u, v)
+        # 2x downsample back to exactly H x W (negative pads crop the pad_k*2 apron)
+        d_p = -pad_k * 2
+        dn0, dn1 = d_p + (kl - 2 + 1) // 2, d_p + (kl - 2) // 2
+        img = upfirdn2d(img, k.reshape(1, -1), down=(1, 2), pad=(dn0, dn1, 0, 0))
+        img = upfirdn2d(img, k.reshape(-1, 1), down=(2, 1), pad=(0, 0, dn0, dn1))
+        assert img.shape[-2:] == (H, W), img.shape
+        return img
+
+    def __call__(self, img: jnp.ndarray, p: jnp.ndarray, rng) -> jnp.ndarray:
+        """Augment a batch (NCHW, float32). `p` is the adaptive strength scalar."""
+        B, C, H, W = img.shape
+        r_aff, r_col, r_filt, r_noise, r_cut = jax.random.split(rng, 5)
+
+        G = self.sample_affine(r_aff, B, H, W, p)
+        img = self._geometric(img, G)
+
+        # color transform (4x4 homogeneous; 1-channel projection for range images,
+        # reference :537-545)
+        Cmat = self.sample_color(r_col, B, p)
+        flat = img.reshape(B, C, H * W)
+        if C == 3:
+            flat = Cmat[:, :3, :3] @ flat + Cmat[:, :3, 3:]
+        elif C == 1:
+            Cm = jnp.mean(Cmat[:, :3, :], axis=1, keepdims=True)  # (B,1,4)
+            flat = flat * jnp.sum(Cm[:, :, :3], axis=2, keepdims=True) + Cm[:, :, 3:]
+        img = flat.reshape(B, C, H, W)
+
+        if self.mul["imgfilter"] > 0:
+            img = self._imgfilter(img, p, r_filt)
+
+        if self.mul["noise"] > 0:
+            k1, k2 = jax.random.split(r_noise)
+            sigma = jnp.abs(jax.random.normal(k1, (B, 1, 1, 1))) * 0.1
+            on = jax.random.uniform(k2, (B, 1, 1, 1)) < self.mul["noise"] * p
+            sigma = jnp.where(on, sigma, 0.0)
+            img = img + jax.random.normal(jax.random.fold_in(k2, 1), img.shape) * sigma
+
+        if self.mul["cutout"] > 0:
+            k1, k2 = jax.random.split(r_cut)
+            size = jnp.full((B, 2, 1, 1, 1), 0.5)
+            on = jax.random.uniform(k1, (B, 1, 1, 1, 1)) < self.mul["cutout"] * p
+            size = jnp.where(on, size, 0.0)
+            center = jax.random.uniform(k2, (B, 2, 1, 1, 1))
+            cx = jnp.arange(W).reshape(1, 1, 1, -1)
+            cy = jnp.arange(H).reshape(1, 1, -1, 1)
+            mx = jnp.abs((cx + 0.5) / W - center[:, 0]) >= size[:, 0] / 2
+            my = jnp.abs((cy + 0.5) / H - center[:, 1]) >= size[:, 1] / 2
+            img = img * (mx | my).astype(img.dtype)
+
+        return img
+
+    def _imgfilter(self, img, p, rng):
+        B, C, H, W = img.shape
+        num_bands = self.Hz_fbank.shape[0]
+        expected_power = jnp.asarray(np.array([10, 1, 1, 1]) / 13, jnp.float32)
+        g = jnp.ones((B, num_bands))
+        for i, band_strength in enumerate(self.imgfilter_bands):
+            k1, k2 = jax.random.split(jax.random.fold_in(rng, i))
+            t_i = jnp.exp2(jax.random.normal(k1, (B,)) * self.imgfilter_std)
+            on = jax.random.uniform(k2, (B,)) < self.mul["imgfilter"] * p * band_strength
+            t_i = jnp.where(on, t_i, 1.0)
+            t = jnp.ones((B, num_bands)).at[:, i].set(t_i)
+            t = t / jnp.sqrt(jnp.sum(expected_power * t**2, axis=-1, keepdims=True))
+            g = g * t
+        Hz_prime = g @ self.Hz_fbank  # (B, taps)
+        taps = Hz_prime.shape[-1]
+        pp = self.Hz_fbank.shape[1] // 2
+        x = _pad_axis(img, -1, pp, pp, "circular")
+        x = _pad_axis(x, -2, pp, pp, "reflect")
+        # separable per-sample filter via batched depthwise conv (vmap over batch)
+        def one(xi, ki):
+            kern_w = jnp.broadcast_to(ki.reshape(1, 1, 1, taps), (C, 1, 1, taps))
+            kern_h = jnp.broadcast_to(ki.reshape(1, 1, taps, 1), (C, 1, taps, 1))
+            y = jax.lax.conv_general_dilated(
+                xi[None], kern_w, (1, 1), "VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C,
+            )
+            y = jax.lax.conv_general_dilated(
+                y, kern_h, (1, 1), "VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C,
+            )
+            return y[0]
+
+        return jax.vmap(one)(x, Hz_prime.astype(img.dtype))
+
+
+def _bilinear_gather_wrapw(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Bilinear sample img (B,C,Hs,Ws) at (u,v) per batch: wrap in W, zero outside H.
+
+    Matches grid_sample(mode=bilinear, padding_mode=zeros, align_corners=False) except
+    the W axis wraps (ring images are azimuth-periodic).
+    """
+    B, C, Hs, Ws = img.shape
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = (u - u0)[:, None]  # (B,1,Ho,Wo)
+    fv = (v - v0)[:, None]
+    u0 = u0.astype(jnp.int32)
+    v0 = v0.astype(jnp.int32)
+
+    # vectorized gather: flatten spatial source, index = y*Ws + x
+    flat = img.reshape(B, C, Hs * Ws)
+
+    def sample(yy, xx):
+        valid = ((yy >= 0) & (yy < Hs)).astype(img.dtype)[:, None]
+        yc = jnp.clip(yy, 0, Hs - 1)
+        xc = jnp.mod(xx, Ws)
+        idx = (yc * Ws + xc).reshape(B, 1, -1)  # (B,1,Ho*Wo)
+        vals = jnp.take_along_axis(flat, jnp.broadcast_to(idx, (B, C, idx.shape[-1])), axis=2)
+        vals = vals.reshape(B, C, *yy.shape[1:])
+        return vals * valid
+
+    p00 = sample(v0, u0)
+    p01 = sample(v0, u0 + 1)
+    p10 = sample(v0 + 1, u0)
+    p11 = sample(v0 + 1, u0 + 1)
+    top = p00 * (1 - fu) + p01 * fu
+    bot = p10 * (1 - fu) + p11 * fu
+    return top * (1 - fv) + bot * fv

@@ -20,7 +20,48 @@ from jax import lax
 
 from .pad import _pad_axis
 
-__all__ = ["ResamplePlan", "resample", "make_resample", "blur_vh"]
+__all__ = ["ResamplePlan", "resample", "make_resample", "blur_vh", "upfirdn2d"]
+
+
+def upfirdn2d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    up=(1, 1),
+    down=(1, 1),
+    pad=(0, 0, 0, 0),  # (x0, x1, y0, y1) — may be negative (crop)
+) -> jnp.ndarray:
+    """Zero-insert upsample -> zero-pad -> FIR -> stride downsample, one fused conv.
+
+    The TPU-native equivalent of the reference CUDA upfirdn2d
+    (gans/models/ops/upfirdn2d/upfirdn2d_kernel.cu): expressed as a single
+    lhs-dilated depthwise `lax.conv_general_dilated`, which XLA tiles directly.
+    `kernel` is 1D (separable use) or 2D; NCHW layout. No kernel flip
+    (cross-correlation), matching upfirdn2d_native's F.conv2d formulation.
+    """
+    if isinstance(up, int):
+        up = (up, up)
+    if isinstance(down, int):
+        down = (down, down)
+    px0, px1, py0, py1 = pad
+    kernel = jnp.asarray(kernel, x.dtype)
+    if kernel.ndim == 1:
+        kernel = kernel.reshape(1, -1)
+    kh, kw = kernel.shape
+    C = x.shape[1]
+    # reference pads the up-dilated tensor including up-1 trailing zeros; XLA's
+    # lhs_dilation omits trailing zeros, so shift the high-side pad accordingly
+    lo_h, hi_h = py0, py1 + (up[0] - 1)
+    lo_w, hi_w = px0, px1 + (up[1] - 1)
+    kern = jnp.broadcast_to(kernel.reshape(1, 1, kh, kw), (C, 1, kh, kw))
+    return lax.conv_general_dilated(
+        x,
+        kern,
+        window_strides=down,
+        padding=((lo_h, hi_h), (lo_w, hi_w)),
+        lhs_dilation=up,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=C,
+    )
 
 
 def _pair(v):
