@@ -1,0 +1,68 @@
+"""Benchmark: dusty_v2 generator sampling throughput (samples/sec/chip) at the shipped
+64x512 KITTI configuration, on whatever accelerator jax provides (TPU under the driver).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline context (BASELINE.md): the reference publishes no numbers; the provisional
+baseline is REF_SAMPLES_PER_SEC below — an estimate of the reference PyTorch pipeline's
+single-GPU sampling rate at batch 64 (StyleGAN2-class 64x512 generator, fp32, V100-class
+GPU). The north-star target is >= 5x that per chip.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REF_SAMPLES_PER_SEC = 250.0  # provisional PyTorch-GPU estimate; see BASELINE.md
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _angle, _full_gen_cfg
+    from dusty_gan_v2_tpu.models import build_generator
+
+    res = (64, 512)
+    B = 64
+    G = build_generator(_full_gen_cfg(resolution=res))
+    angle = _angle(res)
+    z0 = jax.random.normal(jax.random.PRNGKey(0), (B, 512))
+    variables = G.init(
+        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)}, z0, angle
+    )
+
+    @jax.jit
+    def sample(variables, z, noise):
+        o = G.apply(variables, z, angle, truncation_psi=0.7, gumbel_noise=noise)
+        return o["image"]
+
+    noise0 = jax.random.logistic(jax.random.PRNGKey(2), (B, 1, *res))
+    # warmup / compile
+    out = sample(variables, z0, noise0)
+    jax.block_until_ready(out)
+
+    n_iters = 30
+    zs = [jax.random.normal(jax.random.PRNGKey(i), (B, 512)) for i in range(4)]
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = sample(variables, zs[i % 4], noise0)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = B * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "dusty_v2 64x512 sampling throughput",
+                "value": round(samples_per_sec, 2),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(samples_per_sec / REF_SAMPLES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -84,8 +84,12 @@ class AdaState(NamedTuple):
 
     @classmethod
     def create(cls, p_init: float = 0.0) -> "AdaState":
-        z = jnp.zeros((), jnp.float32)
-        return cls(p=z + p_init, sign_cum=z, n_pred_cum=z)
+        # distinct arrays: aliased leaves break buffer donation in the train step
+        return cls(
+            p=jnp.full((), p_init, jnp.float32),
+            sign_cum=jnp.zeros((), jnp.float32),
+            n_pred_cum=jnp.zeros((), jnp.float32),
+        )
 
 
 def _t2d(tx, ty):

@@ -1,0 +1,3 @@
+from .mesh import DATA_AXIS, data_sharding, local_batch, make_mesh, replicated
+
+__all__ = ["DATA_AXIS", "data_sharding", "local_batch", "make_mesh", "replicated"]

@@ -9,9 +9,15 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# this box may have very few cores; 8 virtual devices then execute sequentially and the
+# default 20s/40s collective rendezvous timeouts fire spuriously
+if "collective_call_terminate" not in flags:
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax
 

@@ -1,0 +1,174 @@
+"""Training-engine smoke tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dusty_gan_v2_tpu.parallel import make_mesh
+from dusty_gan_v2_tpu.training import Trainer, fetch_reals
+from dusty_gan_v2_tpu.utils.config import Config
+
+RES = (8, 64)  # tiny: this box can have a single CPU core
+
+
+def tiny_cfg(**overrides):
+    cfg = Config(
+        {
+            "dataset": {
+                "name": "kitti_raw",
+                "min_depth": 1.45,
+                "max_depth": 80,
+                "raydrop_const": -1,
+            },
+            "training": {
+                "random_seed": 0,
+                "total_kimg": 1,
+                "ema_kimg": 10,
+                "ema_rampup": 0.05,
+                "batch_size": 8,
+                "gan_objective": "nsgan",
+                "loss": {"gan": 1, "gp": 1, "pl": 1},
+                "lazy": {"gp": 4, "pl": 2, "ada": 2},
+                "lr": {
+                    "generator": {"alpha": 0.002, "beta1": 0, "beta2": 0.99},
+                    "discriminator": {"alpha": 0.002, "beta1": 0, "beta2": 0.99},
+                },
+                "augment": {
+                    "p_init": 0.0,
+                    "p_target": 0.6,
+                    "kimg": 500,
+                    "policy": {
+                        "lr_flip": 1, "ud_flip": 1, "int_trans": 1, "iso_scale": 1,
+                        "frac_trans": 1, "brightness": 1, "contrast": 1,
+                        "luma_flip": 1, "hue": 1, "saturation": 1,
+                        "imgfilter": 0, "noise": 0, "cutout": 0,
+                    },
+                },
+                "warmup": {
+                    "fade_kimg": 1,
+                    "blur_init_sigma": 0,
+                    "dropout_init_ratio": 0.5,
+                },
+            },
+            "model": {
+                "generator": {
+                    "arch": "dusty_v2",
+                    "mapping_kwargs": {"in_ch": 16, "out_ch": 16, "depth": 2},
+                    "synthesis_kwargs": {
+                        "in_ch": 16,
+                        "out_ch": [
+                            {"name": "image", "ch": 1, "act": "tanh"},
+                            {"name": "raydrop_logit", "ch": 1, "act": None},
+                        ],
+                        "ch_base": 4,
+                        "ch_max": 16,
+                        "resolution": list(RES),
+                        "layers": [2, 2],
+                        "ring": True,
+                        "use_noise": False,
+                        "aug_coords": True,
+                    },
+                    "measurement_kwargs": {"raydrop_const": -1, "gumbel_temperature": 1},
+                },
+                "discriminator": {
+                    "arch": "dusty_v2",
+                    "layer_kwargs": {
+                        "in_ch": 1,
+                        "ring": True,
+                        "ch_base": 4,
+                        "ch_max": 16,
+                        "resolution": list(RES),
+                        "mbdis_group": 4,
+                        "mbdis_feat": 1,
+                        "pre_blur": True,
+                    },
+                },
+            },
+        }
+    )
+    for k, v in overrides.items():
+        cfg[k] = v
+    return cfg
+
+
+def make_angle(res):
+    elev = np.linspace(0.05, -0.41, res[0], dtype=np.float32)
+    azim = np.linspace(np.pi, -np.pi, res[1], endpoint=False, dtype=np.float32)
+    return jnp.asarray(np.stack(np.meshgrid(elev, azim, indexing="ij"), axis=0)[None])
+
+
+def synth_batch(rng, B, res):
+    depth = rng.uniform(2.0, 79.0, (B, 1, *res)).astype(np.float32)
+    mask = (rng.rand(B, 1, *res) > 0.1).astype(np.float32)
+    return {"depth": jnp.asarray(depth), "mask": jnp.asarray(mask)}
+
+
+def fresh(state):
+    """Deep-copy a state pytree: the jitted step donates its input buffers."""
+    return jax.tree_util.tree_map(jnp.copy, state)
+
+
+@pytest.fixture(scope="module")
+def trainer_and_state():
+    mesh = make_mesh(jax.devices()[:2])  # 2-device submesh: full 8-dev path is covered
+    # by __graft_entry__.dryrun_multichip; keep unit tests fast on a 1-core box
+    t = Trainer(tiny_cfg(), mesh=mesh, angle=make_angle(RES))
+    state = t.init_state(jax.random.PRNGKey(0))
+    return t, state
+
+
+class TestFetchReals:
+    def test_encoding(self):
+        depth = jnp.asarray(np.array([[[[10.0, 0.0, 100.0]]]], np.float32))
+        mask = jnp.asarray(np.array([[[[1.0, 0.0, 0.0]]]], np.float32))
+        out = fetch_reals({"depth": depth, "mask": mask}, 1.45, 80.0, -1.0)
+        x = np.asarray(out["image"]).ravel()
+        assert x[0] == pytest.approx(2 * (1.45 / 10.0) - 1.0, rel=1e-5)
+        assert x[1] == -1.0 and x[2] == -1.0
+
+
+class TestTrainStep:
+    def test_steps_run_and_update(self, trainer_and_state):
+        t, state = trainer_and_state
+        rng = np.random.RandomState(0)
+        p0 = jax.tree_util.tree_leaves(state.params_G)[0].copy()
+        metrics_all = {}
+        s = fresh(state)
+        for it in range(1, 5):  # hits pl at 2,4; r1 at 4; ada at 2,4
+            batch = synth_batch(rng, t.batch_size, RES)
+            s, metrics = t.step(s, batch, jax.random.PRNGKey(it), it)
+            metrics_all[it] = {k: float(v) for k, v in metrics.items()}
+        assert int(s.step) == 4
+        # params actually moved
+        p1 = jax.tree_util.tree_leaves(s.params_G)[0]
+        assert np.abs(np.asarray(p1) - np.asarray(p0)).max() > 0
+        # losses finite
+        for it, m in metrics_all.items():
+            for k, v in m.items():
+                assert np.isfinite(v), (it, k, v)
+        # lazy scheduling: r1 only at iter 4, pl at 2 and 4
+        assert "loss/D/gradient_penalty" not in metrics_all[1]
+        assert "loss/D/gradient_penalty" in metrics_all[4]
+        assert "loss/G/path_length" in metrics_all[2]
+        assert "stats/ada_rt" in metrics_all[2]
+
+    def test_ema_follows(self, trainer_and_state):
+        t, state = trainer_and_state
+        rng = np.random.RandomState(1)
+        s = fresh(state)
+        for it in range(1, 3):
+            batch = synth_batch(rng, t.batch_size, RES)
+            s, _ = t.step(s, batch, jax.random.PRNGKey(100 + it), it)
+        # ema params differ from both init and current (partial move)
+        e = jax.tree_util.tree_leaves(s.params_G_ema)[0]
+        p = jax.tree_util.tree_leaves(s.params_G)[0]
+        assert not np.allclose(np.asarray(e), np.asarray(p))
+
+    def test_sample(self, trainer_and_state):
+        t, state = trainer_and_state
+        z = jax.random.normal(jax.random.PRNGKey(5), (4, t.z_dim))
+        o = t.sample(state, z, jax.random.PRNGKey(6), ema=True, truncation_psi=0.7)
+        assert o["image"].shape == (4, 1, *RES)
+        assert np.isfinite(np.asarray(o["image"])).all()
