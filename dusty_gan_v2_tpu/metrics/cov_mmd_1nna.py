@@ -1,0 +1,119 @@
+"""COV / MMD / 1-NNA two-sample metrics over CD/EMD/DCD distance matrices.
+
+Behavioral equivalent of reference `gans/metrics/cov_mmd_1nna.py:16-156`. The pairwise
+matrix construction is jit-compiled per (1 x batch) tile; the reference's DataParallel
+EMD fan-out becomes a single-device (or pmapped) batched approxmatch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .distance import (
+    chamfer_distance,
+    density_aware_chamfer_distance,
+    earth_mover_distance,
+)
+
+__all__ = ["compute_cov_mmd_1nna", "compute_cd", "compute_emd", "compute_dcd"]
+
+
+def compute_cd(pcs_1, pcs_2):
+    d1, d2, _, _ = chamfer_distance(pcs_1, pcs_2)
+    return d1.mean(axis=1) + d2.mean(axis=1)
+
+
+def compute_emd(pcs_1, pcs_2):
+    N = pcs_1.shape[1]
+    assert N == pcs_2.shape[1]
+    return earth_mover_distance(pcs_1, pcs_2) / float(N)
+
+
+def compute_dcd(pcs_1, pcs_2):
+    d, _, _ = density_aware_chamfer_distance(pcs_1, pcs_2)
+    return d
+
+
+_FNS = {"cd": compute_cd, "emd": compute_emd, "dcd": compute_dcd}
+
+
+def _pairwise_distance(pcs_1, pcs_2, batch_size, metrics=("cd",), verbose=True):
+    B1, B2 = pcs_1.shape[0], pcs_2.shape[0]
+    jitted = {m: jax.jit(_FNS[m]) for m in metrics}
+    out = {m: np.zeros((B1, B2), np.float32) for m in metrics}
+    p2 = jnp.asarray(pcs_2)
+    for i in range(B1):
+        row = jnp.asarray(pcs_1[i])[None]
+        for j in range(0, B2, batch_size):
+            b2 = p2[j : j + batch_size]
+            b1 = jnp.broadcast_to(row, (b2.shape[0], *row.shape[1:]))
+            for m in metrics:
+                out[m][i, j : j + b2.shape[0]] = np.asarray(jitted[m](b1, b2))
+    return out
+
+
+def _compute_cov_mmd(M_rg: np.ndarray) -> Dict[str, float]:
+    N_ref, N_gen = M_rg.shape
+    mmd_gen = M_rg.min(axis=0)
+    min_idx_gen = M_rg.argmin(axis=0)
+    mmd_ref = M_rg.min(axis=1)
+    return {
+        "mmd": float(mmd_ref.mean()),
+        "mmd-sample": float(mmd_gen.mean()),
+        "cov": float(len(np.unique(min_idx_gen))) / float(N_ref),
+    }
+
+
+def _compute_nna(M_rr, M_rg, M_gg, k=1, sqrt=False) -> Dict[str, float]:
+    N_ref, N_gen = M_rg.shape
+    label = np.concatenate([np.ones(N_ref), np.zeros(N_gen)])
+    M = np.concatenate(
+        [
+            np.concatenate([M_rr, M_rg], axis=1),
+            np.concatenate([M_rg.T, M_gg], axis=1),
+        ],
+        axis=0,
+    )
+    if sqrt:
+        M = np.sqrt(np.abs(M))
+    np.fill_diagonal(M, np.inf)
+    idx = np.argpartition(M, k, axis=0)[:k]  # k smallest along rows for each column
+    count = label[idx].sum(axis=0)
+    pred = (count / k >= 0.5).astype(np.float64)
+
+    tp = float((pred * label).sum())
+    fp = float((pred * (1 - label)).sum())
+    fn = float(((1 - pred) * label).sum())
+    tn = float(((1 - pred) * (1 - label)).sum())
+    return {
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+        "tn": tn,
+        "precision": tp / (tp + fp + 1e-10),
+        "recall": tp / (tp + fn + 1e-10),
+        "accuracy_t": tp / (tp + fn + 1e-10),
+        "accuracy_f": tn / (tn + fp + 1e-10),
+        "accuracy": float((pred == label).mean()),
+    }
+
+
+def compute_cov_mmd_1nna(
+    pcs_gen, pcs_ref, batch_size, metrics=("cd", "emd", "dcd"), verbose=True
+) -> Dict[str, float]:
+    assert isinstance(metrics, tuple)
+    results: Dict[str, float] = {}
+    M_rr = _pairwise_distance(pcs_ref, pcs_ref, batch_size, metrics, verbose)
+    M_rg = _pairwise_distance(pcs_ref, pcs_gen, batch_size, metrics, verbose)
+    M_gg = _pairwise_distance(pcs_gen, pcs_gen, batch_size, metrics, verbose)
+
+    for m in metrics:
+        for k, v in _compute_cov_mmd(M_rg[m]).items():
+            results[f"{k}-{m}"] = v
+        for k, v in _compute_nna(M_rr[m], M_rg[m], M_gg[m], k=1).items():
+            results[f"1-nn-{k}-{m}"] = v
+    return results
