@@ -1,0 +1,169 @@
+"""Evaluate a trained GAN: SWD / JSD / COV-MMD-1NNA (CD/EMD/DCD) / FPD / KPD.
+
+Equivalent of reference test_gan.py:26-258, single-controller: generation and feature
+extraction run batched on the accelerator (deterministic gumbel via a fixed logistic
+noise map, like the reference's forward hook, :96-100); metric math runs host-side.
+
+    python test_gan.py --ckpt_path <ckpt> --metrics swd,jsd,fpd,kpd[,1nna-emd,...]
+"""
+
+import argparse
+import json
+from collections import defaultdict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dusty_gan_v2_tpu.datasets.kitti import KITTIRaw, Prefetcher
+from dusty_gan_v2_tpu.geometry import CoordBridge
+from dusty_gan_v2_tpu.metrics import (
+    compute_cov_mmd_1nna,
+    compute_frechet_distance,
+    compute_jsd,
+    compute_squared_mmd,
+    compute_swd,
+    downsample_point_clouds,
+    load_torch_state_dict,
+    pointnet_features,
+)
+from dusty_gan_v2_tpu.models import build_generator
+from dusty_gan_v2_tpu.pretrained import autoload_ckpt
+from dusty_gan_v2_tpu.utils import init_random_seed, sigmoid_to_tanh, tanh_to_sigmoid
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt_path", required=True)
+    parser.add_argument("--metrics", default="swd,jsd,fpd,kpd",
+                        help="comma list: swd,jsd,fpd,kpd,1nna-cd,1nna-emd,1nna-dcd")
+    parser.add_argument("--num_samples", type=int, default=50_000)
+    parser.add_argument("--num_subsample", type=int, default=2048)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--pairwise_batch", type=int, default=256)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--pointnet_ckpt", default=None)
+    parser.add_argument("--dataset_root", default=None)
+    parser.add_argument("--out", default=None, help="write scores JSON here")
+    args = parser.parse_args()
+    metrics = args.metrics.split(",")
+
+    init_random_seed(args.seed)
+    ckpt = autoload_ckpt(args.ckpt_path)
+    cfg = ckpt["cfg"]
+    H, W = cfg.model.generator.synthesis_kwargs.resolution
+    angle = jnp.asarray(ckpt["angle"])
+    num_points = int(cfg.validation.num_points)
+
+    coord = CoordBridge(
+        num_ring=H, num_points=W,
+        min_depth=cfg.dataset.min_depth, max_depth=cfg.dataset.max_depth,
+        angle=np.asarray(ckpt["angle"]),
+    )
+    G = build_generator(cfg.model.generator)
+    g_vars = ckpt["G_ema"]
+    z_dim = cfg.model.generator.mapping_kwargs.in_ch
+
+    need_feats = any(m in metrics for m in ("fpd", "kpd"))
+    pointnet_params = None
+    if need_feats:
+        assert args.pointnet_ckpt, "--pointnet_ckpt required for fpd/kpd"
+        pointnet_params = load_torch_state_dict(args.pointnet_ckpt)
+
+    # deterministic gumbel: fixed logistic noise shared across samples
+    # (test_gan.py:96-100 semantics: hard threshold logits + noise > 0)
+    u = np.clip(np.random.rand(1, 1, H, W).astype(np.float32), 1e-6, 1 - 1e-6)
+    fixed_logistic = jnp.asarray(np.log(u) - np.log1p(-u))
+
+    @jax.jit
+    def generate(z):
+        o = G.apply(g_vars, z, angle, gumbel_noise=fixed_logistic)
+        return o["image"]
+
+    @jax.jit
+    def to_outputs(img_tanh):
+        inv = jnp.clip(tanh_to_sigmoid(img_tanh), 0, 1)
+        pts = coord.convert(inv, "inv_depth_norm", "point_set") / coord.max_depth
+        feats = (
+            pointnet_features(pointnet_params, pts.transpose(0, 2, 1))
+            if pointnet_params is not None
+            else jnp.zeros((img_tanh.shape[0], 0))
+        )
+        small = downsample_point_clouds(pts, num_points)
+        return inv, small, feats
+
+    def collect_gen(n):
+        imgs, pts, feats = [], [], []
+        rng = jax.random.PRNGKey(args.seed)
+        done = 0
+        while done < n:
+            b = min(args.batch_size, n - done)
+            rng, k = jax.random.split(rng)
+            z = jax.random.normal(k, (b, z_dim))
+            img = generate(z)
+            i, p, f = to_outputs(img)
+            imgs.append(np.asarray(i))
+            pts.append(np.asarray(p))
+            feats.append(np.asarray(f))
+            done += b
+        return (np.concatenate(imgs), np.concatenate(pts), np.concatenate(feats))
+
+    def collect_real(split):
+        root = args.dataset_root or cfg.dataset.root
+        ds = KITTIRaw(root=root, split=split, shape=(H, W),
+                      min_depth=cfg.dataset.min_depth, max_depth=cfg.dataset.max_depth)
+        imgs, pts, feats = [], [], []
+        for batch in Prefetcher(ds, args.batch_size, num_workers=4):
+            depth = jnp.asarray(batch["depth"])
+            mask = jnp.asarray(batch["mask"])
+            x = coord.convert(depth, "depth", "inv_depth_norm")
+            x = sigmoid_to_tanh(x)
+            x = mask * x + (1 - mask) * float(
+                cfg.model.generator.measurement_kwargs.raydrop_const
+            )
+            i, p, f = to_outputs(x)
+            imgs.append(np.asarray(i))
+            pts.append(np.asarray(p))
+            feats.append(np.asarray(f))
+        return (np.concatenate(imgs), np.concatenate(pts), np.concatenate(feats))
+
+    print("generating", args.num_samples, "samples...")
+    gen_imgs, gen_pts, gen_feats = collect_gen(args.num_samples)
+
+    need_test = any(m in metrics for m in ("swd", "jsd")) or any(
+        m.startswith("1nna") for m in metrics
+    )
+    need_train = need_feats
+    test_data = collect_real("test") if need_test else None
+    train_data = collect_real("train") if need_train else None
+
+    N_sub = args.num_subsample
+    scores = {}
+    if "swd" in metrics:
+        scores.update(compute_swd(gen_imgs[:N_sub], test_data[0][:N_sub]))
+    if "jsd" in metrics:
+        scores["jsd"] = compute_jsd(gen_pts[:N_sub] / 2.0, test_data[1][:N_sub] / 2.0)
+    for m in metrics:
+        if m.startswith("1nna"):
+            dist = m.split("-")[1]
+            scores.update(
+                compute_cov_mmd_1nna(
+                    gen_pts[:N_sub], test_data[1][:N_sub],
+                    batch_size=args.pairwise_batch, metrics=(dist,),
+                )
+            )
+    if "fpd" in metrics:
+        scores["fpd"] = compute_frechet_distance(gen_feats, train_data[2])
+    if "kpd" in metrics:
+        scores["kpd"] = compute_squared_mmd(gen_feats, train_data[2]) * 1000.0
+
+    for k, v in sorted(scores.items()):
+        print(f"{k:>30}: {v}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(scores, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
