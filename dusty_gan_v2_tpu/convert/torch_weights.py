@@ -214,6 +214,79 @@ def convert_discriminator_state(state_dict: Dict[str, Any], arch: str) -> Dict:
     return params
 
 
+def convert_squeezeseg_state(state_dict: Dict[str, Any], arch: str = "squeezeseg_v2"):
+    """Reference SqueezeSegV2 torch state_dict -> (params, batch_stats) trees.
+
+    torch layout (squeezeseg_v2.py:59-161): encoder/decoder ModuleDicts of Sequential
+    blocks; ConvReLUNorm = Sequential(conv, relu, bn); CAM.attn =
+    Sequential(maxpool, conv, relu, conv, sigmoid).
+    """
+    assert arch == "squeezeseg_v2", arch
+    params: Dict = {}
+    stats: Dict = {}
+    consumed = set()
+
+    def take(key):
+        consumed.add(key)
+        return _to_np(state_dict[key])
+
+    def conv_relu_norm(t_prefix, mine):
+        _set(params, (*mine, "conv", "weight"), take(f"{t_prefix}.0.weight"))
+        _set(params, (*mine, "conv", "bias"), take(f"{t_prefix}.0.bias"))
+        _set(params, (*mine, "bn", "weight"), take(f"{t_prefix}.2.weight"))
+        _set(params, (*mine, "bn", "bias"), take(f"{t_prefix}.2.bias"))
+        _set(stats, (*mine, "bn", "running_mean"), take(f"{t_prefix}.2.running_mean"))
+        _set(stats, (*mine, "bn", "running_var"), take(f"{t_prefix}.2.running_var"))
+        consumed.add(f"{t_prefix}.2.num_batches_tracked")
+
+    def cam(t_prefix, mine):
+        _set(params, (mine, "fc1", "weight"), take(f"{t_prefix}.attn.1.weight"))
+        _set(params, (mine, "fc1", "bias"), take(f"{t_prefix}.attn.1.bias"))
+        _set(params, (mine, "fc2", "weight"), take(f"{t_prefix}.attn.3.weight"))
+        _set(params, (mine, "fc2", "bias"), take(f"{t_prefix}.attn.3.bias"))
+
+    def fire(t_prefix, mine, up=False):
+        conv_relu_norm(f"{t_prefix}.squeeze1x1", (mine, "squeeze1x1"))
+        conv_relu_norm(f"{t_prefix}.expand1x1", (mine, "expand1x1"))
+        conv_relu_norm(f"{t_prefix}.expand3x3", (mine, "expand3x3"))
+        if up:
+            _set(params, (mine, "upsample", "weight"),
+                 take(f"{t_prefix}.upsample.0.weight"))
+            _set(params, (mine, "upsample", "bias"),
+                 take(f"{t_prefix}.upsample.0.bias"))
+
+    conv_relu_norm("encoder.conv_1a.0", ("conv1a",))
+    cam("encoder.conv_1a.1", "cam1")
+    conv_relu_norm("encoder.conv_1b", ("conv1b",))
+    fire("encoder.fire_2_3.1", "fire2")
+    cam("encoder.fire_2_3.2", "cam2")
+    fire("encoder.fire_2_3.3", "fire3")
+    cam("encoder.fire_2_3.4", "cam3")
+    fire("encoder.fire_4_5.1", "fire4")
+    fire("encoder.fire_4_5.2", "fire5")
+    for i, name in ((1, "fire6"), (2, "fire7"), (3, "fire8"), (4, "fire9")):
+        fire(f"encoder.fire_6_9.{i}", name)
+    for i, name in ((10, "fire10"), (11, "fire11"), (12, "fire12"), (13, "fire13")):
+        fire(f"decoder.fire_{i}", name, up=True)
+    _set(params, ("head", "weight"), take("decoder.head.1.weight"))
+    _set(params, ("head", "bias"), take("decoder.head.1.bias"))
+
+    if "crf.weight_appearance" in state_dict:
+        _set(params, ("crf", "weight_appearance"), take("crf.weight_appearance"))
+        _set(params, ("crf", "weight_smoothness"), take("crf.weight_smoothness"))
+        _set(params, ("crf", "label_compatibility"),
+             take("crf.label_compatibility.weight"))
+
+    leftovers = [
+        k for k in state_dict
+        if k not in consumed and "num_batches_tracked" not in k
+        and not any(t in k for t in ("theta_", "kernel_gamma", "kernel_alpha"))
+    ]
+    if leftovers:
+        raise KeyError(f"unconverted squeezeseg keys: {leftovers}")
+    return params, stats
+
+
 def load_reference_checkpoint(path: str):
     """Load a released `.pth` (torch) checkpoint -> dict with converted variables.
 

@@ -1,0 +1,154 @@
+"""Semseg vertical tests: model parity vs the reference torch implementations."""
+
+import sys
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "tests")
+sys.path.insert(0, "/root/reference")
+
+from dusty_gan_v2_tpu.convert.torch_weights import convert_squeezeseg_state
+from dusty_gan_v2_tpu.semseg import (
+    CRFRNN,
+    SqueezeSegV1,
+    SqueezeSegV2,
+    cross_entropy,
+    focal_loss,
+    knn2d,
+    masked_seg_loss,
+)
+
+RNG = np.random.RandomState(0)
+
+
+def _ref_semseg():
+    from semseg.models.crf_as_rnn import CRFRNN as TorchCRF
+    from semseg.models.knn import kNN2d as TorchKNN
+    from semseg.models.loss import FocalLoss as TorchFocal
+    from semseg.models.squeezeseg_v2 import SqueezeSegV2 as TorchSSG2
+
+    return TorchCRF, TorchKNN, TorchFocal, TorchSSG2
+
+
+class TestCRF:
+    def test_matches_torch(self):
+        TorchCRF, *_ = _ref_semseg()
+        C, H, W = 4, 8, 32
+        tcrf = TorchCRF(num_classes=C, num_iters=3).eval()
+        unary = RNG.rand(2, C, H, W).astype(np.float32)
+        xyz = RNG.randn(2, 3, H, W).astype(np.float32)
+        mask = (RNG.rand(2, H, W) > 0.2).astype(np.float32)
+        with torch.no_grad():
+            ref = tcrf(torch.from_numpy(unary), torch.from_numpy(xyz),
+                       torch.from_numpy(mask)).numpy()
+
+        jcrf = CRFRNN(num_classes=C, num_iters=3)
+        variables = jcrf.init(jax.random.PRNGKey(0), jnp.asarray(unary),
+                              jnp.asarray(xyz), jnp.asarray(mask))
+        got = np.asarray(jcrf.apply(variables, jnp.asarray(unary), jnp.asarray(xyz),
+                                    jnp.asarray(mask)))
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+class TestKNN:
+    def test_matches_torch(self):
+        _, TorchKNN, *_ = _ref_semseg()
+        C, H, W = 5, 8, 32
+        depth = RNG.rand(2, 1, H, W).astype(np.float32)
+        label = RNG.randint(0, C, (2, H, W))
+        tknn = TorchKNN(C)
+        ref = tknn(torch.from_numpy(depth), torch.from_numpy(label).long()).numpy()
+        got = np.asarray(knn2d(jnp.asarray(depth), jnp.asarray(label), C))
+        # top-k tie-breaking may differ; demand near-total agreement
+        agreement = (got == ref).mean()
+        assert agreement > 0.97, agreement
+
+
+class TestFocal:
+    def test_matches_torch(self):
+        *_, TorchFocal, _ = _ref_semseg()
+        C = 3
+        logit = RNG.randn(2, C, 8, 16).astype(np.float32)
+        label = RNG.randint(0, C, (2, 8, 16))
+        alpha = np.array([0.33, 1.0, 3.5], np.float32)
+        tfl = TorchFocal(gamma=2.0, alpha=torch.from_numpy(alpha))
+        ref = tfl(torch.from_numpy(logit), torch.from_numpy(label).long()).numpy()
+        got = np.asarray(
+            focal_loss(jnp.asarray(logit), jnp.asarray(label), 2.0, jnp.asarray(alpha))
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+    def test_masked_reduction(self):
+        loss = jnp.ones((2, 4, 4))
+        mask = jnp.zeros((2, 4, 4)).at[:, :2].set(1.0)
+        assert float(masked_seg_loss(loss, mask)) == pytest.approx(1.0)
+
+
+class TestSqueezeSegV2Parity:
+    def test_forward_matches_torch(self):
+        *_, TorchSSG2 = _ref_semseg()
+        torch.manual_seed(0)
+        tm = TorchSSG2(
+            inputs=["xyz", "depth"], num_classes=4, use_crf=False,
+            pretrained_weights=False,
+        ).eval()
+        # randomize BN running stats so eval-mode normalization is exercised
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.5, 2.0)
+
+        params, stats = convert_squeezeseg_state(tm.state_dict())
+        jm = SqueezeSegV2(inputs=("xyz", "depth"), num_classes=4, use_crf=False)
+
+        x = RNG.randn(2, 4, 16, 64).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x)).numpy()
+        got = np.asarray(
+            jm.apply({"params": params, "batch_stats": stats}, jnp.asarray(x))
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+    def test_with_crf(self):
+        jm = SqueezeSegV2(inputs=("xyz", "depth"), num_classes=3, use_crf=True)
+        x = jnp.asarray(RNG.randn(1, 4, 16, 64).astype(np.float32))
+        xyz = jnp.asarray(RNG.randn(1, 3, 16, 64).astype(np.float32))
+        mask = jnp.ones((1, 16, 64))
+        variables = jm.init(jax.random.PRNGKey(0), x, xyz, mask)
+        out = jm.apply(variables, x, xyz, mask)
+        assert out.shape == (1, 3, 16, 64)
+
+    def test_train_updates_bn(self):
+        jm = SqueezeSegV2(inputs=("depth",), num_classes=3)
+        x = jnp.asarray(RNG.randn(2, 1, 16, 64).astype(np.float32)) * 3
+        variables = jm.init(jax.random.PRNGKey(0), x)
+        out, mut = jm.apply(
+            variables, x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        before = jax.tree_util.tree_leaves(variables["batch_stats"])[0]
+        after = jax.tree_util.tree_leaves(mut["batch_stats"])[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+    def test_v1_shapes(self):
+        jm = SqueezeSegV1(inputs=("xyz", "depth"), num_classes=4)
+        x = jnp.asarray(RNG.randn(1, 4, 16, 64).astype(np.float32))
+        variables = jm.init(jax.random.PRNGKey(0), x)
+        out = jm.apply(variables, x)
+        assert out.shape == (1, 4, 16, 64)
+
+    def test_logit_bias_init(self):
+        bias = (0.9, 0.05, 0.05)
+        jm = SqueezeSegV2(inputs=("depth",), num_classes=3, logit_bias=bias)
+        x = jnp.asarray(RNG.randn(1, 1, 16, 64).astype(np.float32))
+        variables = jm.init(jax.random.PRNGKey(0), x)
+        b = np.asarray(variables["params"]["head"]["bias"])
+        np.testing.assert_allclose(
+            b, -np.log((1 - np.array(bias)) / np.array(bias)), rtol=1e-5
+        )

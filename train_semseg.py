@@ -1,0 +1,307 @@
+"""Train SqueezeSeg V1/V2 for sim2real LiDAR semantic segmentation, data-parallel.
+
+Equivalent of reference train_semseg.py:65-399 in single-controller SPMD: the train step
+(focal/CE masked loss, SGD+momentum+weight-decay, grad-norm clip, BatchNorm stat sync
+via cross-device batch statistics) is one jitted shard_map program over a "data" mesh.
+Dataset dispatch by config name mirrors reference :80-106 (clean / uniform / spatial /
+GAN-noise dustyv1/v2 / real).
+
+    python train_semseg.py --config configs/semseg/sim2real_w_gan_noise_dustyv2.yaml
+"""
+
+import argparse
+import datetime
+import json
+import time
+from collections import defaultdict, deque
+from pathlib import Path
+
+import numpy as np
+import optax
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from dusty_gan_v2_tpu.datasets.kitti import InfiniteSampler, Prefetcher
+from dusty_gan_v2_tpu.parallel import DATA_AXIS, make_mesh
+from dusty_gan_v2_tpu.semseg import (
+    GTALiDAR,
+    GTALiDAR_GAN,
+    KITTIRawFrontal,
+    SqueezeSegV1,
+    SqueezeSegV2,
+    cross_entropy,
+    focal_loss,
+    masked_seg_loss,
+)
+from dusty_gan_v2_tpu.training.trainer import _shard_map
+from dusty_gan_v2_tpu.utils.config import load_config, save_config
+
+MODALITY_CH = {"xyz": 3, "depth": 1, "reflectance": 1, "mask": 1}
+
+
+def make_inputs(item, modalities):
+    parts = []
+    for m in modalities:
+        t = item[m]
+        if t.ndim == 3:
+            t = t[:, None]
+        parts.append(t)
+    return jnp.concatenate(parts, axis=1)
+
+
+def build_dataset(cfg):
+    name = cfg.dataset.name
+    flip = bool(cfg.dataset.random_flip)
+    if name == "kitti_raw_frontal":
+        train = KITTIRawFrontal(split="train", flip=flip)
+    elif name == "gta_lidar":
+        drop = np.load("data/avg_raydrop/kitti_raw_frontal.npy")
+        train = GTALiDAR(flip=flip, raydrop_p=drop)
+    elif name == "gta_lidar_w_uniform_noise":
+        drop = np.load("data/avg_raydrop/kitti_raw_frontal.npy")
+        drop = np.full_like(drop, drop.mean())
+        train = GTALiDAR(flip=flip, raydrop_p=drop)
+    elif name == "gta_lidar_w_gan_noise_dustyv1":
+        train = GTALiDAR_GAN(flip=flip, gan_dir="GTAV_noise_v1")
+    elif name == "gta_lidar_w_gan_noise_dustyv2":
+        train = GTALiDAR_GAN(flip=flip, gan_dir="GTAV_noise_v2")
+    elif name == "gta_lidar_wo_noise":
+        train = GTALiDAR(flip=flip, raydrop_p=None)
+    else:
+        raise ValueError(name)
+    val = KITTIRawFrontal(split="val")
+    return train, val
+
+
+def build_model(cfg):
+    kwargs = dict(
+        inputs=tuple(cfg.arch.inputs),
+        num_classes=int(cfg.dataset.num_classes),
+        head_dropout_p=float(cfg.arch.decoder.dropout_p),
+        use_crf=bool(cfg.arch.use_crf),
+        crf_kwargs={
+            "kernel_size": tuple(cfg.arch.crf.kernel_size),
+            "init_weight_smoothness": cfg.arch.crf.init_weight_smoothness,
+            "init_weight_appearance": cfg.arch.crf.init_weight_appearance,
+            "theta_gamma": tuple(np.atleast_1d(cfg.arch.crf.theta_gamma)),
+            "theta_alpha": tuple(np.atleast_1d(cfg.arch.crf.theta_alpha)),
+            "theta_beta": tuple(np.atleast_1d(cfg.arch.crf.theta_beta)),
+            "num_iters": int(cfg.arch.crf.num_iters),
+        } if cfg.arch.use_crf else None,
+    )
+    if cfg.arch.name == "squeezeseg_v1":
+        return SqueezeSegV1(**kwargs)
+    if cfg.arch.name == "squeezeseg_v2":
+        return SqueezeSegV2(
+            **kwargs,
+            bn_momentum=float(cfg.arch.bn_momentum),
+            logit_bias=tuple(cfg.dataset.logit_bias)
+            if cfg.dataset.get("logit_bias") is not None
+            else None,
+        )
+    raise ValueError(cfg.arch.name)
+
+
+def evaluate_confusion(label, pred, num_classes):
+    """per-class tp/fp/fn (reference test_semseg.py:23-42)."""
+    tps = np.zeros(num_classes)
+    fps = np.zeros(num_classes)
+    fns = np.zeros(num_classes)
+    for c in range(num_classes):
+        tps[c] = ((pred == c) & (label == c)).sum()
+        fps[c] = ((pred == c) & (label != c)).sum()
+        fns[c] = ((pred != c) & (label == c)).sum()
+    return tps, fps, fns
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--log_dir", default=None)
+    parser.add_argument("--dry_run", action="store_true")
+    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--max_steps", type=int, default=None)
+    args = parser.parse_args()
+
+    cfg = load_config(args.config)
+    if args.dry_run:
+        print(json.dumps(cfg.to_dict(), indent=2, default=str))
+        return
+
+    mesh = make_mesh()
+    n_dev = mesh.shape[DATA_AXIS]
+    batch_size = int(cfg.training.batch_size)
+    assert batch_size % n_dev == 0
+
+    model = build_model(cfg)
+    num_classes = int(cfg.dataset.num_classes)
+    modalities = tuple(cfg.arch.inputs)
+    in_ch = sum(MODALITY_CH[m] for m in modalities)
+
+    H, W = cfg.dataset.shape
+    key = jax.random.PRNGKey(int(cfg.random_seed))
+    x0 = jnp.zeros((2, in_ch, H, W))
+    xyz0 = jnp.zeros((2, 3, H, W))
+    mask0 = jnp.ones((2, H, W))
+    variables = model.init(
+        {"params": key, "dropout": jax.random.fold_in(key, 1)}, x0, xyz0, mask0
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    # SGD + momentum + weight decay; exponential decay every lr_decay_steps
+    steps_total = args.max_steps or int(cfg.training.max_steps)
+    decay_every = int(cfg.training.lr_decay_steps)
+    sched = optax.exponential_decay(
+        float(cfg.training.lr), transition_steps=decay_every,
+        decay_rate=float(cfg.training.lr_decay), staircase=True,
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(float(cfg.training.max_grad_norm)),
+        optax.add_decayed_weights(float(cfg.training.weight_decay)),
+        optax.sgd(sched, momentum=float(cfg.training.lr_momentum)),
+    )
+    opt_state = tx.init(params)
+
+    loss_name = cfg.loss.name
+    cls_weight = jnp.asarray(cfg.loss.cls_weight, jnp.float32)
+    gamma = float(cfg.loss.get("focal_gamma", 2.0))
+    coef = float(cfg.loss.cls_loss_coef)
+
+    def loss_of(logit, label, mask):
+        if loss_name == "focal_loss":
+            pl = focal_loss(logit, label, gamma, cls_weight)
+        else:
+            pl = cross_entropy(logit, label, cls_weight)
+        return masked_seg_loss(pl, mask) * coef
+
+    def step_fn(params, batch_stats, opt_state, batch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                batch["inputs"], batch["xyz"], batch["mask"],
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            loss = loss_of(out, batch["label"], batch["mask"])
+            return loss, (mut.get("batch_stats", {}), out)
+
+        (loss, (new_stats, logit)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        # SyncBatchNorm equivalent: average the updated running stats across shards
+        new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        pred = jnp.argmax(logit, axis=1)
+        return params, new_stats, new_opt, jax.lax.pmean(loss, DATA_AXIS), pred
+
+    sharded_step = jax.jit(
+        _shard_map(
+            step_fn, mesh,
+            in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
+            out_specs=(P(), P(), P(), P(), P(DATA_AXIS)),
+        ),
+        donate_argnums=(0, 1, 2),
+    )
+
+    train_ds, val_ds = build_dataset(cfg)
+    sampler = InfiniteSampler(len(train_ds), seed=int(cfg.random_seed))
+    loader = iter(Prefetcher(train_ds, batch_size, sampler, num_workers=args.num_workers))
+
+    if args.log_dir is None:
+        stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+        log_dir = Path("logs/semseg") / cfg.dataset.name / cfg.arch.name / stamp
+    else:
+        log_dir = Path(args.log_dir)
+    log_dir.mkdir(parents=True, exist_ok=True)
+    save_config(cfg, str(log_dir / "training_config.yaml"))
+    from torch.utils.tensorboard import SummaryWriter
+
+    writer = SummaryWriter(log_dir=str(log_dir / "tensorboard"))
+
+    conf = defaultdict(lambda: np.zeros(num_classes))
+    moving = deque(maxlen=100)
+    ckpt_cfg = cfg.training.checkpoint
+    t0 = time.time()
+    for step in range(1, steps_total + 1):
+        raw = next(loader)
+        batch = {
+            "inputs": make_inputs({k: jnp.asarray(v) for k, v in raw.items()}, modalities),
+            "xyz": jnp.asarray(raw["xyz"]),
+            "label": jnp.asarray(raw["label"].astype(np.int32)),
+            "mask": jnp.asarray(raw["mask"]),
+        }
+        params, batch_stats, opt_state, loss, pred = sharded_step(
+            params, batch_stats, opt_state, batch, jax.random.fold_in(key, step)
+        )
+        moving.append(float(loss))
+
+        label = raw["label"] * raw["mask"]
+        pred_np = np.asarray(pred) * raw["mask"]
+        tps, fps, fns = evaluate_confusion(label, pred_np, num_classes)
+        conf["tp"] += tps
+        conf["fp"] += fps
+        conf["fn"] += fns
+
+        if step % int(ckpt_cfg.stats) == 0:
+            eps = 1e-12
+            iou = conf["tp"] / (conf["tp"] + conf["fn"] + conf["fp"] + eps)
+            writer.add_scalar("train/loss", float(np.mean(moving)), step)
+            writer.add_scalar("train/iou/mean", float(iou[1:].mean()), step)
+            writer.add_scalar("train/lr", float(sched(step)), step)
+            sps = step * batch_size / (time.time() - t0)
+            print(f"step {step:>7}/{steps_total} loss {np.mean(moving):.4f} "
+                  f"miou {iou[1:].mean():.3f} ({sps:.1f} imgs/s)")
+            conf = defaultdict(lambda: np.zeros(num_classes))
+
+        if step % int(ckpt_cfg.test) == 0 or step == steps_total:
+            # validation
+            vconf = defaultdict(lambda: np.zeros(num_classes))
+            eval_fn = jax.jit(
+                lambda p, s, x, xyz, m: jnp.argmax(
+                    model.apply({"params": p, "batch_stats": s}, x, xyz, m), axis=1
+                )
+            )
+            for vraw in Prefetcher(val_ds, batch_size, num_workers=args.num_workers):
+                vb = {k: jnp.asarray(v) for k, v in vraw.items()}
+                vpred = np.asarray(
+                    eval_fn(params, batch_stats, make_inputs(vb, modalities),
+                            vb["xyz"], vb["mask"])
+                )
+                vl = vraw["label"] * vraw["mask"]
+                vp = vpred * vraw["mask"]
+                tps, fps, fns = evaluate_confusion(vl, vp, num_classes)
+                vconf["tp"] += tps
+                vconf["fp"] += fps
+                vconf["fn"] += fns
+            eps = 1e-12
+            iou = vconf["tp"] / (vconf["tp"] + vconf["fn"] + vconf["fp"] + eps)
+            writer.add_scalar("val/iou/mean", float(iou[1:].mean()), step)
+            print(f"[val] step {step}: miou={iou[1:].mean():.4f} per-class={iou}")
+
+            import flax.serialization
+
+            payload = flax.serialization.msgpack_serialize(
+                {
+                    "cfg_yaml": json.dumps(cfg.to_dict()),
+                    "step": np.int64(step),
+                    "params": flax.serialization.to_state_dict(jax.device_get(params)),
+                    "batch_stats": flax.serialization.to_state_dict(
+                        jax.device_get(batch_stats)
+                    ),
+                }
+            )
+            path = log_dir / "models" / f"checkpoint_step-{step:010d}.ckpt"
+            path.parent.mkdir(parents=True, exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(payload)
+
+
+if __name__ == "__main__":
+    main()
