@@ -215,14 +215,24 @@ class KITTIRaw:
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         pts = np.fromfile(self.datalist[index], dtype=np.float32).reshape(-1, 4)
-        img = project_points_to_image(
-            pts,
-            H=64,
-            W=2048,
-            min_depth=self.min_depth,
-            max_depth=self.max_depth,
-            scan_unfolding=self.scan_unfolding,
-        )
+        img = None
+        try:  # native C++ fast path (csrc/projection.cpp); numpy fallback below
+            from .native import project_points_to_image_native
+
+            img = project_points_to_image_native(
+                pts, 64, 2048, self.min_depth, self.max_depth, self.scan_unfolding
+            )
+        except Exception:
+            img = None
+        if img is None:
+            img = project_points_to_image(
+                pts,
+                H=64,
+                W=2048,
+                min_depth=self.min_depth,
+                max_depth=self.max_depth,
+                scan_unfolding=self.scan_unfolding,
+            )
         img = nearest_resize_hw(img, self.shape)
         img = img * img[..., 5:6]  # zero out invalid cells in every channel
         if self.flip and np.random.rand() > 0.5:

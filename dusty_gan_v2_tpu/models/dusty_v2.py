@@ -176,6 +176,9 @@ class SynthesisBlock(nn.Module):
             pe_in = fourier_out_ch(
                 self.pe_ch, self.pe_type, self.resolution, self.pe_scale_offset
             )
+            # PERF: at eval the angle grid is shared across the batch (shape (1,2,H,W));
+            # computing the sin/cos encoding once and broadcasting saves the dominant
+            # transcendental cost of sampling.
             h_pe = FourierFeature(
                 resolution=tuple(self.resolution),
                 basis_scale=self.pe_type,
@@ -183,7 +186,12 @@ class SynthesisBlock(nn.Module):
                 L_offset=tuple(self.pe_scale_offset),
                 name="pe",
             )(angle.astype(dtype))
-            h = h_pe if h is None else jnp.concatenate([h, h_pe], axis=1)
+            if h is not None:
+                if h_pe.shape[0] != h.shape[0]:
+                    h_pe = jnp.broadcast_to(h_pe, (h.shape[0], *h_pe.shape[1:]))
+                h = jnp.concatenate([h, h_pe], axis=1)
+            else:
+                h = h_pe
         else:
             pe_in = 0
 
@@ -192,6 +200,9 @@ class SynthesisBlock(nn.Module):
                 return None
             return self.make_rng("noise")
 
+        w0 = next(ws)
+        if h.shape[0] != w0.shape[0]:  # first block at eval: batch-1 PE map
+            h = jnp.broadcast_to(h, (w0.shape[0], *h.shape[1:]))
         h = ModConv2d(
             in_ch=self.in_ch + pe_in,
             out_ch=self.mid_ch,
@@ -202,7 +213,7 @@ class SynthesisBlock(nn.Module):
             use_bias=False,
             ema=True,
             name="conv1",
-        )(h, next(ws), train=train)
+        )(h, w0, train=train)
         if self.use_noise:
             h = NoiseInjection(name="noise1")(
                 h,
@@ -309,10 +320,10 @@ class SynthesisNetwork(nn.Module):
         n_layers = len(scales)
         ch = lambda i: min(self.ch_base << (len(self.layers) - i), self.ch_max)
 
-        # callers may pass a (1,2,H,W) angle LUT; broadcast to batch
-        angle = jnp.broadcast_to(angle, (B, *angle.shape[1:]))
-
         do_aug = train and self.aug_coords
+        if do_aug:
+            # per-sample angle shifts need a per-sample grid
+            angle = jnp.broadcast_to(angle, (B, *angle.shape[1:]))
         if do_aug:
             # random horizontal angle shift for subgrid consistency
             # (reference dusty_v2.py:264-274)

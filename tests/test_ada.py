@@ -219,3 +219,60 @@ class TestAdaControl:
         )
         state, _ = ada.update_p(state)
         assert float(state.p) <= 0.9
+
+
+class TestDiffAugment:
+    def test_identity_at_p_zero(self):
+        from dusty_gan_v2_tpu.augment.diff_augment import DiffAugment
+
+        da = DiffAugment()
+        x = jnp.asarray(RNG.randn(2, 1, 8, 32).astype(np.float32))
+        y = da(x, jnp.zeros(()), jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    def test_translation_matches_torch(self):
+        """Oracle: the reference rand_translation gather semantics with fixed shifts."""
+        from dusty_gan_v2_tpu.augment.diff_augment import rand_translation
+
+        B, C, H, W = 2, 3, 8, 16
+        x = RNG.randn(B, C, H, W).astype(np.float32)
+
+        # torch oracle with forced shifts
+        th = np.array([[2], [-1]])[:, :, None]
+        tw = np.array([[3], [-4]])[:, :, None]
+        tx = torch.from_numpy(x)
+        gb, gh, gw = torch.meshgrid(
+            torch.arange(B), torch.arange(H), torch.arange(W), indexing="ij"
+        )
+        x_pad = F.pad(tx, [0, 0, 1, 1, 0, 0, 0, 0])
+        gh2 = torch.clamp(gh + torch.from_numpy(th) + 1, min=0, max=H + 1)
+        gw2 = (gw + torch.from_numpy(tw)) % (W - 1)
+        ref = (
+            x_pad.permute(0, 2, 3, 1)[gb, gh2, gw2].permute(0, 3, 1, 2).numpy()
+        )
+
+        # monkeypatch jax randint to return the same shifts
+        import dusty_gan_v2_tpu.augment.diff_augment as da_mod
+
+        orig = jax.random.randint
+        calls = {"n": 0}
+
+        def fake_randint(key, shape, minval, maxval):
+            calls["n"] += 1
+            return jnp.asarray(th if calls["n"] == 1 else tw, jnp.int32)
+
+        jax.random.randint = fake_randint
+        try:
+            got = rand_translation(jnp.asarray(x), jax.random.PRNGKey(0), jnp.ones(()))
+        finally:
+            jax.random.randint = orig
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-6)
+
+    def test_controller(self):
+        from dusty_gan_v2_tpu.augment.diff_augment import DiffAugment
+
+        da = DiffAugment()
+        s = da.init_state()
+        s = da.cumulate(s, jnp.ones((16,)))
+        s, rt = da.update_p(s)
+        assert float(rt) == 1.0 and float(s.p) > 0

@@ -174,3 +174,56 @@ class TestPrefetcher:
         for _ in range(5):
             b = next(it)
             assert b["a"].shape == (4,)
+
+
+class TestNativeLoader:
+    def test_native_matches_numpy(self):
+        from dusty_gan_v2_tpu.datasets.native import (
+            available,
+            nearest_resize_native,
+            project_points_to_image_native,
+        )
+
+        if not available():
+            import pytest
+
+            pytest.skip("native library unavailable")
+        pts = synthetic_scan(H=8, W=32)
+        ref = project_points_to_image(pts, H=8, W=64, min_depth=1.45, max_depth=80.0)
+        got = project_points_to_image_native(pts, 8, 64, 1.45, 80.0, True)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+        # pitch-binning path
+        ref2 = project_points_to_image(pts, H=8, W=64, min_depth=1.45, max_depth=80.0,
+                                       scan_unfolding=False)
+        got2 = project_points_to_image_native(pts, 8, 64, 1.45, 80.0, False)
+        np.testing.assert_allclose(got2, ref2, atol=1e-5)
+
+        img = RNG.randn(8, 32, 3).astype(np.float32)
+        np.testing.assert_array_equal(
+            nearest_resize_native(img, (8, 16)), nearest_resize_hw(img, (8, 16))
+        )
+
+    def test_native_throughput_advantage(self):
+        """The native path should not be slower than numpy (informational)."""
+        import time
+
+        from dusty_gan_v2_tpu.datasets.native import (
+            available,
+            project_points_to_image_native,
+        )
+
+        if not available():
+            import pytest
+
+            pytest.skip("native library unavailable")
+        pts = np.concatenate([synthetic_scan(H=64, W=2000) for _ in range(1)])
+        t0 = time.perf_counter()
+        for _ in range(3):
+            project_points_to_image_native(pts, 64, 2048, 1.45, 80.0, True)
+        t_native = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(3):
+            project_points_to_image(pts, H=64, W=2048, min_depth=1.45, max_depth=80.0)
+        t_numpy = time.perf_counter() - t0
+        print(f"native {t_native:.4f}s vs numpy {t_numpy:.4f}s")
+        assert t_native < t_numpy * 2.0  # sanity; usually much faster
