@@ -25,13 +25,26 @@ def main():
     from dusty_gan_v2_tpu.models import build_generator
 
     res = (64, 512)
-    B = 64
-    G = build_generator(_full_gen_cfg(resolution=res))
+    B = 128
+    cfg = _full_gen_cfg(resolution=res)
+    cfg["compute_dtype"] = "bfloat16"  # params fp32; per-block bf16 compute (f32 parity
+    # is covered by tests/test_parity.py at compute_dtype=float32)
+    G = build_generator(cfg)
     angle = _angle(res)
     z0 = jax.random.normal(jax.random.PRNGKey(0), (B, 512))
-    variables = G.init(
-        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)}, z0, angle
-    )
+    # init on CPU (fast host trace), then ship params to the accelerator
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            variables = G.init(
+                {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+                jax.numpy.zeros((2, 512)), angle,
+            )
+        variables = jax.device_put(variables, jax.devices()[0])
+    except Exception:
+        variables = G.init(
+            {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)}, z0, angle
+        )
 
     @jax.jit
     def sample(variables, z, noise):
