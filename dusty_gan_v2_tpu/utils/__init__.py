@@ -86,3 +86,23 @@ def init_random_seed(seed: int):
 
     random.seed(seed)
     return jax.random.PRNGKey(seed)
+
+
+def save_video(frames, filename: str, fps: int = 30, save_frames: bool = False):
+    """Save a sequence of HxWx3 uint8 frames as an animated GIF (+ optional PNGs).
+
+    Equivalent role to reference gans/utils.py:141-164 (which used cv2/mp4; this
+    environment has PIL only — GIF keeps the artifact viewable anywhere).
+    """
+    from PIL import Image
+
+    imgs = [Image.fromarray(f) for f in frames]
+    out = f"{filename}.gif"
+    imgs[0].save(
+        out, save_all=True, append_images=imgs[1:],
+        duration=max(1, int(1000 / fps)), loop=0,
+    )
+    if save_frames:
+        for i, im in enumerate(imgs):
+            im.save(f"{filename}_{i:05d}.png")
+    return out

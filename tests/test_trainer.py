@@ -172,3 +172,21 @@ class TestTrainStep:
         o = t.sample(state, z, jax.random.PRNGKey(6), ema=True, truncation_psi=0.7)
         assert o["image"].shape == (4, 1, *RES)
         assert np.isfinite(np.asarray(o["image"])).all()
+
+
+class TestAccumulation:
+    def test_matches_full_batch(self):
+        from dusty_gan_v2_tpu.training.accumulation import microbatch_value_and_grad
+
+        params = {"w": jnp.asarray(np.random.RandomState(0).randn(4).astype(np.float32))}
+        batch = jnp.asarray(np.random.RandomState(1).randn(8, 4).astype(np.float32))
+
+        def loss_fn(p, b):
+            return jnp.mean((b @ p["w"]) ** 2)
+
+        l0, g0 = jax.value_and_grad(loss_fn)(params, batch)
+        l1, g1 = microbatch_value_and_grad(loss_fn, params, batch, 4)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g0["w"]), np.asarray(g1["w"]), rtol=1e-5
+        )
