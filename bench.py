@@ -18,6 +18,9 @@ REF_SAMPLES_PER_SEC = 250.0  # provisional PyTorch-GPU estimate; see BASELINE.md
 
 
 def main():
+    from dusty_gan_v2_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

@@ -34,6 +34,9 @@ from dusty_gan_v2_tpu.utils import init_random_seed, sigmoid_to_tanh, tanh_to_si
 
 
 def main():
+    from dusty_gan_v2_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--ckpt_path", required=True)
     parser.add_argument("--metrics", default="swd,jsd,fpd,kpd",

@@ -140,6 +140,9 @@ def validation_fpd_kpd(trainer, state, train_loader_factory, pointnet_params,
 
 
 def main():
+    from dusty_gan_v2_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--resume", default=None)

@@ -117,6 +117,9 @@ def evaluate_confusion(label, pred, num_classes):
 
 
 def main():
+    from dusty_gan_v2_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--log_dir", default=None)
