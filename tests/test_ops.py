@@ -394,3 +394,29 @@ class TestNoise:
         variables = layer.init(jax.random.PRNGKey(0), x, fixed_noise=noise)
         out = layer.apply(variables, x, fixed_noise=noise)
         np.testing.assert_allclose(np.asarray(out), np.asarray(x))  # weight starts at 0
+
+
+class TestResampleMatmul:
+    """The MXU (dense banded matmul) resampling path must equal the conv path."""
+
+    @pytest.mark.parametrize(
+        "up,down,direction,ring",
+        [
+            (2, 1, "hw", True), (1, 2, "hw", True), (1, 1, "hw", True),
+            (2, 1, "hw", False), (1, 2, "w", True), (1, 1, "h", True),
+        ],
+    )
+    def test_matmul_equals_conv(self, up, down, direction, ring):
+        x = jnp.asarray(rand(2, 3, 8, 16))
+        plan = ops.make_resample(up=up, down=down, ring=ring, direction=direction)
+        ref = ops.resample(x, plan, method="conv")
+        got = ops.resample(x, plan, method="matmul")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5,
+                                   atol=1e-5)
+
+    def test_gradients_match(self):
+        x = jnp.asarray(rand(1, 2, 8, 16))
+        plan = ops.make_resample(up=2)
+        g1 = jax.grad(lambda x: jnp.sum(ops.resample(x, plan, "conv") ** 2))(x)
+        g2 = jax.grad(lambda x: jnp.sum(ops.resample(x, plan, "matmul") ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
