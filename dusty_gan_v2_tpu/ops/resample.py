@@ -213,11 +213,9 @@ def resample(x: jnp.ndarray, plan: ResamplePlan, method: str = "auto") -> jnp.nd
       - "auto":   matmul on TPU for 2D-direction plans, conv otherwise
     """
     if method == "auto":
-        try:
-            on_tpu = x.devices() and next(iter(x.devices())).platform != "cpu"
-        except Exception:
-            on_tpu = jax.default_backend() != "cpu"
-        method = "matmul" if on_tpu else "conv"
+        import jax
+
+        method = "matmul" if jax.default_backend() != "cpu" else "conv"
     if method == "matmul":
         return _resample_matmul(x, plan)
     m = plan.margin
