@@ -150,6 +150,27 @@ def _rotate3d(theta):
     return out.at[:, :3, :3].set(rot)
 
 
+def _inv3x3(m):
+    """Closed-form batched 3x3 inverse (adjugate/determinant): avoids the TPU
+    lax.linalg custom call, fuses into the surrounding elementwise graph."""
+    a, b, c = m[:, 0, 0], m[:, 0, 1], m[:, 0, 2]
+    d, e, f = m[:, 1, 0], m[:, 1, 1], m[:, 1, 2]
+    g, h, i = m[:, 2, 0], m[:, 2, 1], m[:, 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[:, None, None]
+
+
 def _maybe(rng, p, mat, prev):
     """With prob p apply `mat`, else identity; compose onto prev (reference :248-253)."""
     B = mat.shape[0]
@@ -318,7 +339,7 @@ class AdaptiveAugment:
 
         # affine bookkeeping in centered original-pixel coordinates, then conjugations
         # for padding / upsampling / normalization — same algebra as reference :484-523.
-        G_inv = jnp.linalg.inv(G)
+        G_inv = _inv3x3(G)
         # symmetric static pad: no origin shift needed for W (wrapped); H pad symmetric
         S2 = jnp.diag(jnp.asarray([2.0, 2.0, 1.0]))
         S2i = jnp.diag(jnp.asarray([0.5, 0.5, 1.0]))
@@ -334,22 +355,15 @@ class AdaptiveAugment:
         Sni = jnp.diag(jnp.asarray([Wo / 2.0, Ho / 2.0, 1.0]))
         Gn = Sn[None] @ G_inv @ Sni[None]
 
-        # target grid (align_corners=False pixel centers), homogeneous
+        # The implemented policy (flips / translations / scale) composes to
+        # axis-aligned affines (no rotation/shear terms exist in sample_affine), so the
+        # warp factorizes into independent W and H resamplings. These are executed as
+        # per-sample one-hot matmuls on the MXU — far faster on TPU than a 2-D gather.
         xt = (2.0 * jnp.arange(Wo) + 1.0) / Wo - 1.0
         yt = (2.0 * jnp.arange(Ho) + 1.0) / Ho - 1.0
-        grid = jnp.stack(
-            [
-                jnp.broadcast_to(xt[None, :], (Ho, Wo)),
-                jnp.broadcast_to(yt[:, None], (Ho, Wo)),
-                jnp.ones((Ho, Wo)),
-            ],
-            axis=-1,
-        )  # (Ho, Wo, 3)
-        src = jnp.einsum("bij,hwj->bhwi", Gn[:, :2], grid)  # (B,Ho,Wo,2) normalized
-        u = ((src[..., 0] + 1.0) * Ws - 1.0) / 2.0  # source x (pixels)
-        v = ((src[..., 1] + 1.0) * Hs - 1.0) / 2.0  # source y (pixels)
-
-        img = _bilinear_gather_wrapw(img, u, v)
+        u = ((Gn[:, 0, 0, None] * xt[None] + Gn[:, 0, 2, None] + 1.0) * Ws - 1.0) / 2.0
+        v = ((Gn[:, 1, 1, None] * yt[None] + Gn[:, 1, 2, None] + 1.0) * Hs - 1.0) / 2.0
+        img = _warp_separable(img, u, v)
         # 2x downsample back to exactly H x W (negative pads crop the pad_k*2 apron)
         d_p = -pad_k * 2
         dn0, dn1 = d_p + (kl - 2 + 1) // 2, d_p + (kl - 2) // 2
@@ -434,6 +448,43 @@ class AdaptiveAugment:
             return y[0]
 
         return jax.vmap(one)(x, Hz_prime.astype(img.dtype))
+
+
+def _warp_separable(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Axis-aligned bilinear warp as two batched one-hot matmuls (MXU path).
+
+    img (B,C,Hs,Ws); u (B,Wo) source x per output column (wrap); v (B,Ho) source y per
+    output row (zeros outside). Matches grid_sample(bilinear, zeros, align_corners=False)
+    semantics except W wraps (ring images).
+    """
+    B, C, Hs, Ws = img.shape
+    Wo = u.shape[1]
+    Ho = v.shape[1]
+    dtype = img.dtype
+
+    u0 = jnp.floor(u)
+    fu = (u - u0).astype(dtype)
+    i0 = jnp.mod(u0.astype(jnp.int32), Ws)
+    i1 = jnp.mod(u0.astype(jnp.int32) + 1, Ws)
+    iota_w = jnp.arange(Ws, dtype=jnp.int32)
+    Sw = (iota_w[None, None, :] == i0[:, :, None]).astype(dtype) * (1 - fu)[:, :, None]
+    Sw = Sw + (iota_w[None, None, :] == i1[:, :, None]).astype(dtype) * fu[:, :, None]
+
+    v0 = jnp.floor(v)
+    fv = (v - v0).astype(dtype)
+    v0i = v0.astype(jnp.int32)
+    v1i = v0i + 1
+    w0 = (1 - fv) * ((v0i >= 0) & (v0i < Hs)).astype(dtype)
+    w1 = fv * ((v1i >= 0) & (v1i < Hs)).astype(dtype)
+    v0c = jnp.clip(v0i, 0, Hs - 1)
+    v1c = jnp.clip(v1i, 0, Hs - 1)
+    iota_h = jnp.arange(Hs, dtype=jnp.int32)
+    Th = (iota_h[None, None, :] == v0c[:, :, None]).astype(dtype) * w0[:, :, None]
+    Th = Th + (iota_h[None, None, :] == v1c[:, :, None]).astype(dtype) * w1[:, :, None]
+
+    out = jnp.einsum("bchs,bos->bcho", img, Sw, preferred_element_type=jnp.float32)
+    out = jnp.einsum("bcho,bih->bcio", out, Th, preferred_element_type=jnp.float32)
+    return out.astype(dtype)
 
 
 def _bilinear_gather_wrapw(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
