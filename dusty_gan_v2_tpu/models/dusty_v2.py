@@ -159,6 +159,7 @@ class SynthesisBlock(nn.Module):
         angle: jnp.ndarray,
         train: bool = False,
         fixed_noise: Optional[Sequence] = None,
+        azim_shift=None,
     ):
         dtype = jnp.dtype(self.dtype)
         ws = iter(ws)
@@ -185,7 +186,7 @@ class SynthesisBlock(nn.Module):
                 num_freqs=self.pe_ch,
                 L_offset=tuple(self.pe_scale_offset),
                 name="pe",
-            )(angle.astype(dtype))
+            )(angle.astype(dtype), azim_shift=azim_shift)
             if h is not None:
                 if h_pe.shape[0] != h.shape[0]:
                     h_pe = jnp.broadcast_to(h_pe, (h.shape[0], *h_pe.shape[1:]))
@@ -321,17 +322,18 @@ class SynthesisNetwork(nn.Module):
         ch = lambda i: min(self.ch_base << (len(self.layers) - i), self.ch_max)
 
         do_aug = train and self.aug_coords
-        if do_aug:
-            # per-sample angle shifts need a per-sample grid
-            angle = jnp.broadcast_to(angle, (B, *angle.shape[1:]))
+        azim_shift = None
         if do_aug:
             # random horizontal angle shift for subgrid consistency
-            # (reference dusty_v2.py:264-274)
+            # (reference dusty_v2.py:264-274). PERF: the shift is applied inside the
+            # Fourier encoding via an exact trig identity, so the base angle pyramid and
+            # sin/cos volumes stay batch-1 (shifting the azimuth commutes with the
+            # sin/cos pyramid downsampling exactly: integer +-2^k W-frequencies).
             shift01 = jax.random.uniform(self.make_rng("aug"), (B,))
             if self.aug_coords_blitting:
                 shift01 = jnp.round(shift01 * W) / W
             shift = shift01 * (2.0 * np.pi)
-            angle = angle.at[:, 1].add(shift[:, None, None])
+            azim_shift = shift
 
         # multiscale angle pyramid (top-down repeated sin/cos downsampling)
         down_plan = make_resample(down=2, window=(1, 3, 3, 1), ring=self.ring)
@@ -364,7 +366,7 @@ class SynthesisNetwork(nn.Module):
             fn = None if fixed_noise is None else fixed_noise[i]
             h, skip = blk(
                 h, skip, (ws[:, wi], ws[:, wi + 1], ws[:, wi + 2]), pyramid[i],
-                train=train, fixed_noise=fn,
+                train=train, fixed_noise=fn, azim_shift=azim_shift,
             )
             wi += blk.num_conv
 

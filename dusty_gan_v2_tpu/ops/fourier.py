@@ -89,8 +89,16 @@ class FourierFeature(nn.Module):
         return freqs.astype(jnp.float32), phase.astype(jnp.float32)
 
     @nn.compact
-    def __call__(self, angle: jnp.ndarray) -> jnp.ndarray:
-        """angle: (B, 2, H, W) -> (B, out_ch, H, W)."""
+    def __call__(self, angle: jnp.ndarray, azim_shift=None) -> jnp.ndarray:
+        """angle: (B, 2, H, W) -> (B, out_ch, H, W).
+
+        azim_shift (B,) optional: encodes angle with the azimuth channel shifted by a
+        per-sample constant WITHOUT materializing per-sample angle grids — the shift
+        enters via the exact identity sin(c + f_w*d) = sin c cos(f_w d) + cos c sin(f_w d),
+        so the expensive sin/cos volumes are computed once (batch of `angle`, typically
+        1) and combined with per-sample per-frequency scalars. Used by the
+        subgrid-consistency augmentation (dusty_v2.py aug_coords).
+        """
         if self.is_initializing():
             bank = self._init_bank(self.make_rng("params"))
         else:
@@ -101,7 +109,14 @@ class FourierFeature(nn.Module):
         phase = self.variable(
             "consts", "phase", lambda: bank[1] if bank is not None else None
         )
-        coords = jnp.einsum(
-            "fc,bchw->bfhw", freqs.value.astype(angle.dtype), angle
-        ) + phase.value.astype(angle.dtype)[None, :, None, None]
-        return jnp.concatenate([jnp.sin(coords), jnp.cos(coords)], axis=1)
+        f = freqs.value.astype(angle.dtype)
+        coords = jnp.einsum("fc,bchw->bfhw", f, angle) + phase.value.astype(
+            angle.dtype
+        )[None, :, None, None]
+        s, c = jnp.sin(coords), jnp.cos(coords)
+        if azim_shift is not None:
+            delta = f[:, 1][None] * azim_shift[:, None]  # (B, F)
+            sd = jnp.sin(delta)[:, :, None, None]
+            cd = jnp.cos(delta)[:, :, None, None]
+            s, c = s * cd + c * sd, c * cd - s * sd
+        return jnp.concatenate([s, c], axis=1)

@@ -1,6 +1,8 @@
 """CLI smoke tests (in-process, tiny configs, synthetic data)."""
 
+import importlib.util
 import json
+import os
 import sys
 
 import numpy as np
@@ -10,7 +12,19 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, "tests")
-sys.path.insert(0, ".")
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_cli(name):
+    """Import one of OUR root-level CLI modules by absolute path (other tests put
+    /root/reference on sys.path, which shadows same-named scripts)."""
+    spec = importlib.util.spec_from_file_location(
+        f"cli_{name}", os.path.join(_REPO, f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 @pytest.fixture()
@@ -34,7 +48,7 @@ def tiny_ckpt(tmp_path):
 
 class TestQuickDemo:
     def test_main(self, tiny_ckpt, tmp_path, monkeypatch):
-        import quick_demo
+        quick_demo = load_cli("quick_demo")
 
         out = str(tmp_path / "demo.png")
         monkeypatch.setattr(
@@ -50,7 +64,7 @@ class TestQuickDemo:
 
 class TestTrainGanDryRun:
     def test_dry_run(self, monkeypatch, capsys):
-        import train_gan
+        train_gan = load_cli("train_gan")
 
         monkeypatch.setattr(
             sys, "argv",
@@ -62,7 +76,7 @@ class TestTrainGanDryRun:
         assert cfg["model"]["generator"]["arch"] == "dusty_v2"
 
     def test_semseg_dry_run(self, monkeypatch, capsys):
-        import train_semseg
+        train_semseg = load_cli("train_semseg")
 
         monkeypatch.setattr(
             sys, "argv",
@@ -76,7 +90,7 @@ class TestTrainGanDryRun:
 
 class TestDemoInterpolation:
     def test_2d_gif(self, tiny_ckpt, tmp_path, monkeypatch):
-        import demo_interpolation
+        demo_interpolation = load_cli("demo_interpolation")
 
         out = str(tmp_path / "interp.gif")
         monkeypatch.setattr(
