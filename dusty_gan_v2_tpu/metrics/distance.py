@@ -32,11 +32,21 @@ __all__ = [
 
 
 def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """(B,N,3) x (B,M,3) -> (B,N,M) squared euclidean distances (MXU matmul form)."""
+    """(B,N,3) x (B,M,3) -> (B,N,M) squared euclidean distances (MXU matmul form).
+
+    NOTE: uses HIGHEST matmul precision — the TPU's default bf16 dot would give ~1e-2
+    absolute error on O(1) coordinates, which corrupts metrics and (worse) yields
+    slightly negative squared distances that explode inside EMD's exp(-4^7 * d).
+    Results are clamped to >= 0.
+    """
     x2 = jnp.sum(jnp.square(x), axis=-1)  # (B,N)
     y2 = jnp.sum(jnp.square(y), axis=-1)  # (B,M)
-    xy = jnp.einsum("bnd,bmd->bnm", x, y, preferred_element_type=jnp.float32)
-    return x2[:, :, None] + y2[:, None, :] - 2.0 * xy
+    xy = jnp.einsum(
+        "bnd,bmd->bnm", x, y,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.maximum(x2[:, :, None] + y2[:, None, :] - 2.0 * xy, 0.0)
 
 
 def chamfer_distance(
