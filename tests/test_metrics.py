@@ -322,3 +322,16 @@ class TestPointNet:
             ref = net(torch.from_numpy(x)).numpy()
         got = np.asarray(pointnet_features(params, jnp.asarray(x)))
         np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+class TestFusedEMDEquivalence:
+    def test_fused_cost_equals_match_cost(self):
+        from dusty_gan_v2_tpu.metrics.distance import match_cost
+
+        x = jnp.asarray(RNG.randn(2, 48, 3).astype(np.float32))
+        y = jnp.asarray(RNG.randn(2, 48, 3).astype(np.float32))
+        fused = earth_mover_distance(x, y)
+        two_pass = match_cost(x, y, approx_match(x, y))
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(two_pass), rtol=1e-5
+        )
