@@ -335,3 +335,14 @@ class TestFusedEMDEquivalence:
         np.testing.assert_allclose(
             np.asarray(fused), np.asarray(two_pass), rtol=1e-5
         )
+
+
+class TestPallasEMD:
+    def test_matches_xla_in_interpret_mode(self):
+        from dusty_gan_v2_tpu.metrics.pallas_emd import emd_pallas
+
+        x = jnp.asarray(RNG.rand(2, 256, 3).astype(np.float32))
+        y = jnp.asarray(RNG.rand(2, 256, 3).astype(np.float32))
+        ref = earth_mover_distance(x, y)
+        got = emd_pallas(x, y, tm=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4)
