@@ -12,6 +12,7 @@ from .distance import (
 from .fpd_kpd import compute_frechet_distance, compute_squared_mmd
 from .fps import downsample_point_clouds, furthest_point_sampling, gather_points
 from .jsd import compute_jsd, entropy_of_occupancy_grid
+from .pallas_emd import emd_pallas, emd_pallas_available
 from .pointnet import init_pointnet_params, load_torch_state_dict, pointnet_features
 from .swd import compute_swd
 
@@ -40,4 +41,6 @@ __all__ = [
     "load_torch_state_dict",
     "pointnet_features",
     "compute_swd",
+    "emd_pallas",
+    "emd_pallas_available",
 ]

@@ -1,5 +1,9 @@
 """Persistent XLA compilation cache: full-size training programs take minutes to
-compile; caching them makes restarts/resumes instant."""
+compile (remote TPU compile service); caching them makes restarts/resumes instant.
+
+Only enabled for accelerator backends: XLA:CPU AOT artifacts bake in host machine
+features and can SIGILL when the cache directory moves across heterogeneous hosts.
+"""
 
 import os
 
@@ -7,6 +11,11 @@ import os
 def enable_persistent_cache():
     import jax
 
+    try:
+        if jax.default_backend() == "cpu":
+            return
+    except Exception:
+        return
     d = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache")
     )
