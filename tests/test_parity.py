@@ -186,6 +186,166 @@ class TestDustyV2DiscriminatorParity:
         np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+class TestTrainedFixtureParity:
+    """Strongest offline substitute for the released WACV'23 weights (network is
+    unavailable in this environment — see BASELINE.md): run the *actual reference torch
+    models* through several real training steps on CPU (Adam, nsgan objective, train-mode
+    forward passes so w_avg / ModConv ema_var buffers evolve through the reference's own
+    update rules, torch-side G_ema lerp as in reference trainer.py:459-464), save the
+    full reference checkpoint payload (trainer.py:551-567: cfg/step/angle/G/D/G_ema/A/
+    optim_G/optim_D/pl_ema), and load it through the production `autoload_ckpt` path —
+    the exact code path the released .pth files would take.
+    """
+
+    RES_T = (16, 128)
+    ZDIM_T = 32
+
+    @pytest.fixture(scope="class")
+    def trained_ckpt(self, tmp_path_factory):
+        import copy
+
+        sys.path.insert(0, "/root/reference")
+        from gans.models.loss import GANLoss
+
+        res, zdim = self.RES_T, self.ZDIM_T
+        gen_cfg = {
+            "arch": "dusty_v2",
+            "mapping_kwargs": {"in_ch": zdim, "out_ch": zdim, "depth": 2},
+            "synthesis_kwargs": {
+                "in_ch": zdim,
+                "out_ch": [
+                    {"name": "image", "ch": 1, "act": "nn.Tanh"},
+                    {"name": "raydrop_logit", "ch": 1, "act": None},
+                ],
+                "ch_base": 8, "ch_max": 32, "resolution": list(res),
+                "layers": [2, 2, 2, 2], "ring": True, "num_fp16_layers": 0,
+                "use_noise": False, "pe_type": "random", "pe_scale_offset": [3, -1],
+                "aug_coords": True, "aug_coords_blitting": False,
+            },
+            "measurement_kwargs": {"raydrop_const": -1, "gumbel_temperature": 1},
+        }
+        dis_cfg = {
+            "arch": "dusty_v2",
+            "layer_kwargs": {
+                "in_ch": 1, "ch_base": 8, "ch_max": 32, "resolution": list(res),
+                "mbdis_group": 4, "mbdis_feat": 1, "num_fp16_layers": 0,
+                "pre_blur": True, "ring": True,
+            },
+        }
+        torch.manual_seed(0)
+        tG = REF.dusty_v2.Generator(
+            mapping_kwargs=gen_cfg["mapping_kwargs"],
+            synthesis_kwargs=dict(gen_cfg["synthesis_kwargs"]),
+            measurement_kwargs=gen_cfg["measurement_kwargs"],
+        )
+        # D epilogue hardcodes ch(4) from a 4px min-side assumption; at 16x128 the
+        # epilogue resolution is 4x32 -> works with the reference as-is
+        tD = REF.dusty_v2.Discriminator(**{
+            **dis_cfg["layer_kwargs"],
+            "resolution": res,
+        })
+        tG_ema = copy.deepcopy(tG).eval()
+        for p in tG_ema.parameters():
+            p.requires_grad_(False)
+
+        criterion = GANLoss("nsgan")
+        optim_G = torch.optim.Adam(tG.parameters(), lr=2e-3, betas=(0.0, 0.99))
+        optim_D = torch.optim.Adam(tD.parameters(), lr=2e-3, betas=(0.0, 0.99))
+        angle = torch.from_numpy(make_angle(res)).float()
+        B = 4
+        g = torch.Generator().manual_seed(7)
+        tG.train(), tD.train()
+        for i in range(5):
+            real = torch.tanh(torch.randn(B, 1, *res, generator=g))
+            # G step
+            z = torch.randn(B, zdim, generator=g)
+            fake = tG(z, angle=angle.repeat(B, 1, 1, 1))["image"]
+            loss_G = criterion(None, tD(fake), "G")
+            optim_G.zero_grad(); loss_G.backward(); optim_G.step()
+            # D step
+            z = torch.randn(B, zdim, generator=g)
+            with torch.no_grad():
+                fake = tG(z, angle=angle.repeat(B, 1, 1, 1))["image"]
+            loss_D = criterion(tD(real), tD(fake), "D")
+            optim_D.zero_grad(); loss_D.backward(); optim_D.step()
+            # EMA update as in reference trainer.py:459-464
+            with torch.no_grad():
+                decay = 0.5 ** (B / 500.0)
+                for p_ema, p in zip(tG_ema.parameters(), tG.parameters()):
+                    p_ema.copy_(p.lerp(p_ema, decay))
+                for b_ema, b in zip(tG_ema.buffers(), tG.buffers()):
+                    b_ema.copy_(b)
+
+        cfg = {
+            "dataset": {"name": "kitti_raw", "min_depth": 1.45, "max_depth": 80,
+                        "raydrop_const": -1, "root": "data/kitti_raw"},
+            "validation": {"num_points": 512, "batch_size": 8},
+            "training": {"batch_size": B, "gan_objective": "nsgan",
+                         "loss": {"gan": 1, "gp": 1, "pl": 1}},
+            "model": {"generator": gen_cfg, "discriminator": dis_cfg},
+        }
+        path = str(tmp_path_factory.mktemp("fixture") / "trained_ref.pth")
+        torch.save(
+            {
+                "cfg": cfg,
+                "step": 5 * B,
+                "angle": angle,
+                "G": tG.state_dict(),
+                "D": tD.state_dict(),
+                "G_ema": tG_ema.state_dict(),
+                "A": {"p": torch.tensor(0.1)},
+                "optim_G": optim_G.state_dict(),
+                "optim_D": optim_D.state_dict(),
+                "pl_ema": torch.tensor(0.02),
+            },
+            path,
+        )
+        return path, tG_ema.eval(), tD.eval(), angle.numpy()
+
+    def test_autoload_sampling_parity(self, trained_ckpt):
+        from dusty_gan_v2_tpu.pretrained import autoload_ckpt
+
+        path, tG_ema, _, angle = trained_ckpt
+        ckpt = autoload_ckpt(path)
+        G = build_generator(ckpt["cfg"].model.generator)
+        B = 3
+        z = np.random.RandomState(11).randn(B, self.ZDIM_T).astype(np.float32)
+        ang = np.repeat(angle, B, axis=0)
+        for psi in (1.0, 0.7):
+            with torch.no_grad():
+                want = tG_ema(torch.from_numpy(z), angle=torch.from_numpy(ang),
+                              truncation_psi=psi)
+            got = G.apply(
+                ckpt["G_ema"], jnp.asarray(z), jnp.asarray(ang), truncation_psi=psi,
+                gumbel_noise=jnp.zeros((B, 1, *self.RES_T)),
+            )
+            for key in ("image_orig", "raydrop_logit", "w"):
+                np.testing.assert_allclose(
+                    np.asarray(got[key]), want[key].numpy(), atol=1e-4,
+                    err_msg=f"trained-fixture mismatch in {key} (psi={psi})",
+                )
+
+    def test_autoload_discriminator_parity(self, trained_ckpt):
+        from dusty_gan_v2_tpu.pretrained import autoload_ckpt
+
+        path, _, tD, _ = trained_ckpt
+        ckpt = autoload_ckpt(path)
+        jD = build_discriminator(ckpt["cfg"].model.discriminator)
+        x = np.random.RandomState(12).randn(4, 1, *self.RES_T).astype(np.float32)
+        with torch.no_grad():
+            want = tD(torch.from_numpy(x)).numpy()
+        got = np.asarray(jD.apply(ckpt["D"], jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_buffers_evolved(self, trained_ckpt):
+        """Guard that the fixture is genuinely trained-like: the buffers that matter for
+        eval parity (w_avg, ModConv ema_var) must have moved off their init values."""
+        path, tG_ema, _, _ = trained_ckpt
+        assert float(tG_ema.w_avg.abs().sum()) > 0
+        evs = [b for n, b in tG_ema.named_buffers() if n.endswith("ema_var")]
+        assert evs and any(abs(float(b) - 1.0) > 1e-6 for b in evs)
+
+
 class TestVanillaParity:
     RES_V = (64, 128)
 
