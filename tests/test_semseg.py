@@ -152,3 +152,89 @@ class TestSqueezeSegV2Parity:
         np.testing.assert_allclose(
             b, -np.log((1 - np.array(bias)) / np.array(bias)), rtol=1e-5
         )
+
+
+class TestSqueezeNetPretrainedInit:
+    """The ImageNet SqueezeNet-v1.1 Fire init (reference squeezeseg_v2.py:136-159):
+    run the reference's own remap code on a synthetic pickle, then assert our
+    apply_squeezenet_fire_weights lands byte-identical conv weights."""
+
+    def _synthetic_weights(self, rng):
+        from dusty_gan_v2_tpu.semseg.pretrained_init import squeezenet_fire_shapes
+
+        return {
+            key: (rng.randn(*w_shape).astype(np.float32),
+                  rng.randn(*b_shape).astype(np.float32))
+            for key, (w_shape, b_shape) in squeezenet_fire_shapes().items()
+        }
+
+    def test_matches_reference_remap(self, monkeypatch):
+        import types
+
+        import semseg.models.squeezeseg_v2 as ref_mod
+
+        from dusty_gan_v2_tpu.semseg import apply_squeezenet_fire_weights
+
+        rng = np.random.RandomState(42)
+        weights = self._synthetic_weights(rng)
+
+        # reference load path: cached_file.exists() is False in the read-only
+        # reference tree -> download (no-op) -> joblib.load (returns our dict)
+        monkeypatch.setattr(ref_mod, "download_url_to_file", lambda *a, **k: None)
+        monkeypatch.setattr(
+            ref_mod, "joblib", types.SimpleNamespace(load=lambda p: dict(weights))
+        )
+        torch.manual_seed(0)
+        tm = ref_mod.SqueezeSegV2(
+            inputs=["xyz", "depth"], num_classes=4, use_crf=False,
+            pretrained_weights=True,
+        ).eval()
+        ref_params, _ = convert_squeezeseg_state(tm.state_dict())
+
+        jm = SqueezeSegV2(inputs=("xyz", "depth"), num_classes=4, use_crf=False)
+        x = jnp.zeros((1, 4, 16, 64))
+        variables = jm.init(jax.random.PRNGKey(0), x)
+        params = apply_squeezenet_fire_weights(variables["params"], weights)
+
+        from dusty_gan_v2_tpu.semseg.pretrained_init import FIRE_LAYERS, FIRE_NAMES
+
+        for fire in FIRE_NAMES:
+            for layer in FIRE_LAYERS:
+                for leaf in ("weight", "bias"):
+                    got = np.asarray(params[fire][layer]["conv"][leaf])
+                    ref = np.asarray(ref_params[fire][layer]["conv"][leaf])
+                    np.testing.assert_array_equal(got, ref, err_msg=f"{fire}/{layer}/{leaf}")
+
+        # decoder / CAM / non-conv params must be untouched
+        np.testing.assert_array_equal(
+            np.asarray(params["fire10"]["squeeze1x1"]["conv"]["weight"]),
+            np.asarray(variables["params"]["fire10"]["squeeze1x1"]["conv"]["weight"]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(params["fire2"]["squeeze1x1"]["bn"]["weight"]),
+            np.asarray(variables["params"]["fire2"]["squeeze1x1"]["bn"]["weight"]),
+        )
+
+    def test_load_roundtrip_and_validation(self, tmp_path):
+        import joblib
+
+        from dusty_gan_v2_tpu.semseg import load_squeezenet_v11
+
+        rng = np.random.RandomState(7)
+        weights = self._synthetic_weights(rng)
+        p = tmp_path / "squeezenet_v1.1.pkl"
+        joblib.dump(weights, p)
+        loaded = load_squeezenet_v11(str(p))
+        np.testing.assert_array_equal(
+            loaded["fire5/expand3x3"][0], weights["fire5/expand3x3"][0]
+        )
+
+        with pytest.raises(FileNotFoundError):
+            load_squeezenet_v11(str(tmp_path / "missing.pkl"))
+
+        bad = dict(weights)
+        bad["fire2/squeeze1x1"] = (np.zeros((1, 1, 1, 1), np.float32),
+                                   np.zeros((1,), np.float32))
+        joblib.dump(bad, p)
+        with pytest.raises(ValueError):
+            load_squeezenet_v11(str(p))

@@ -154,6 +154,25 @@ def main():
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
+    # ImageNet SqueezeNet-v1.1 encoder init (reference squeezeseg_v2.py:136-159,
+    # pretrained_weights=True by default). Offline-friendly: a cached/local pickle
+    # is used when present; otherwise we warn and train from scratch.
+    if cfg.arch.name == "squeezeseg_v2" and bool(
+        cfg.arch.get("pretrained_weights", True)
+    ):
+        from dusty_gan_v2_tpu.semseg import (
+            apply_squeezenet_fire_weights,
+            load_squeezenet_v11,
+        )
+
+        try:
+            weights = load_squeezenet_v11(cfg.arch.get("pretrained_path"))
+            params = apply_squeezenet_fire_weights(params, weights)
+            print("loaded ImageNet SqueezeNet-v1.1 Fire weights into the encoder")
+        except FileNotFoundError as e:
+            print(f"WARNING: pretrained encoder init unavailable ({e}); "
+                  "encoder starts from trunc-normal init")
+
     # SGD + momentum + weight decay; exponential decay every lr_decay_steps
     steps_total = args.max_steps or int(cfg.training.max_steps)
     decay_every = int(cfg.training.lr_decay_steps)
