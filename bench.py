@@ -16,6 +16,37 @@ import numpy as np
 
 REF_SAMPLES_PER_SEC = 250.0  # provisional PyTorch-GPU estimate; see BASELINE.md
 
+# dense peak of the matrix units, used as the MFU denominator (bf16 FLOPs/s).
+# Values are the public spec-sheet numbers.
+PEAK_FLOPS_BF16 = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,  # v5p
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,  # v6e (Trillium)
+}
+
+
+def _device_peak() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for k, v in PEAK_FLOPS_BF16.items():
+        if kind.startswith(k):
+            return v
+    return 0.0
+
+
+def _compiled_flops(jitted, *args) -> float:
+    """XLA's own FLOP estimate for the compiled executable (0.0 if unavailable)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
 
 def main():
     from dusty_gan_v2_tpu.utils.jax_cache import enable_persistent_cache
@@ -68,16 +99,22 @@ def main():
     dt = time.perf_counter() - t0
 
     samples_per_sec = B * n_iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "dusty_v2 64x512 sampling throughput",
-                "value": round(samples_per_sec, 2),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(samples_per_sec / REF_SAMPLES_PER_SEC, 3),
-            }
-        )
-    )
+
+    # ground the number: XLA-reported FLOPs of the compiled step -> MFU
+    flops_per_batch = _compiled_flops(sample, variables, z0, noise0)
+    peak = _device_peak()
+    achieved = flops_per_batch * n_iters / dt if flops_per_batch else 0.0
+    record = {
+        "metric": "dusty_v2 64x512 sampling throughput",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(samples_per_sec / REF_SAMPLES_PER_SEC, 3),
+        "batch_ms": round(1e3 * dt / n_iters, 3),
+        "flops_per_sample": round(flops_per_batch / B) if flops_per_batch else None,
+        "mfu_pct": round(100.0 * achieved / peak, 2) if (peak and achieved) else None,
+        "device": __import__("jax").devices()[0].device_kind,
+    }
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -407,16 +407,13 @@ class AdaptiveAugment:
             on = jax.random.uniform(k1, (B, 1, 1, 1, 1)) < self.mul["cutout"] * p
             size = jnp.where(on, size, 0.0)
             center = jax.random.uniform(k2, (B, 2, 1, 1, 1))
-            cx = jnp.arange(W).reshape(1, 1, 1, -1)
-            cy = jnp.arange(H).reshape(1, 1, -1, 1)
-            mx = jnp.abs((cx + 0.5) / W - center[:, 0]) >= size[:, 0] / 2
-            my = jnp.abs((cy + 0.5) / H - center[:, 1]) >= size[:, 1] / 2
-            img = img * (mx | my).astype(img.dtype)
+            img = img * cutout_mask(center, size, H, W).astype(img.dtype)
 
         return img
 
-    def _imgfilter(self, img, p, rng):
-        B, C, H, W = img.shape
+    def imgfilter_gains(self, p, rng, B):
+        """Per-sample combined amplification filter Hz' (B, taps): per-band log-normal
+        gains with 1/f power normalization (reference :556-584)."""
         num_bands = self.Hz_fbank.shape[0]
         expected_power = jnp.asarray(np.array([10, 1, 1, 1]) / 13, jnp.float32)
         g = jnp.ones((B, num_bands))
@@ -428,26 +425,47 @@ class AdaptiveAugment:
             t = jnp.ones((B, num_bands)).at[:, i].set(t_i)
             t = t / jnp.sqrt(jnp.sum(expected_power * t**2, axis=-1, keepdims=True))
             g = g * t
-        Hz_prime = g @ self.Hz_fbank  # (B, taps)
-        taps = Hz_prime.shape[-1]
-        pp = self.Hz_fbank.shape[1] // 2
-        x = _pad_axis(img, -1, pp, pp, "circular")
-        x = _pad_axis(x, -2, pp, pp, "reflect")
-        # separable per-sample filter via batched depthwise conv (vmap over batch)
-        def one(xi, ki):
-            kern_w = jnp.broadcast_to(ki.reshape(1, 1, 1, taps), (C, 1, 1, taps))
-            kern_h = jnp.broadcast_to(ki.reshape(1, 1, taps, 1), (C, 1, taps, 1))
-            y = jax.lax.conv_general_dilated(
-                xi[None], kern_w, (1, 1), "VALID",
-                dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C,
-            )
-            y = jax.lax.conv_general_dilated(
-                y, kern_h, (1, 1), "VALID",
-                dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C,
-            )
-            return y[0]
+        return g @ self.Hz_fbank  # (B, taps)
 
-        return jax.vmap(one)(x, Hz_prime.astype(img.dtype))
+    def _imgfilter(self, img, p, rng):
+        Hz_prime = self.imgfilter_gains(p, rng, img.shape[0])
+        return apply_imgfilter(img, Hz_prime)
+
+
+def apply_imgfilter(img: jnp.ndarray, Hz_prime: jnp.ndarray) -> jnp.ndarray:
+    """Separable per-sample FIR filter, circular-W / reflect-H padded
+    (reference :585-595 grouped convs)."""
+    B, C, H, W = img.shape
+    taps = Hz_prime.shape[-1]
+    pp = taps // 2
+    x = _pad_axis(img, -1, pp, pp, "circular")
+    x = _pad_axis(x, -2, pp, pp, "reflect")
+
+    # separable per-sample filter via batched depthwise conv (vmap over batch)
+    def one(xi, ki):
+        kern_w = jnp.broadcast_to(ki.reshape(1, 1, 1, taps), (C, 1, 1, taps))
+        kern_h = jnp.broadcast_to(ki.reshape(1, 1, taps, 1), (C, 1, taps, 1))
+        y = jax.lax.conv_general_dilated(
+            xi[None], kern_w, (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C,
+        )
+        y = jax.lax.conv_general_dilated(
+            y, kern_h, (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C,
+        )
+        return y[0]
+
+    return jax.vmap(one)(x, Hz_prime.astype(img.dtype))
+
+
+def cutout_mask(center: jnp.ndarray, size: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """(B,1,H,W) keep-mask for rectangular cutout (reference :609-620):
+    center/size in normalized [0,1] coords, shapes (B,2,1,1,1)."""
+    cx = jnp.arange(W).reshape(1, 1, 1, -1)
+    cy = jnp.arange(H).reshape(1, 1, -1, 1)
+    mx = jnp.abs((cx + 0.5) / W - center[:, 0]) >= size[:, 0] / 2
+    my = jnp.abs((cy + 0.5) / H - center[:, 1]) >= size[:, 1] / 2
+    return (mx | my)
 
 
 def _warp_separable(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
@@ -487,36 +505,3 @@ def _warp_separable(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     return out.astype(dtype)
 
 
-def _bilinear_gather_wrapw(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
-    """Bilinear sample img (B,C,Hs,Ws) at (u,v) per batch: wrap in W, zero outside H.
-
-    Matches grid_sample(mode=bilinear, padding_mode=zeros, align_corners=False) except
-    the W axis wraps (ring images are azimuth-periodic).
-    """
-    B, C, Hs, Ws = img.shape
-    u0 = jnp.floor(u)
-    v0 = jnp.floor(v)
-    fu = (u - u0)[:, None]  # (B,1,Ho,Wo)
-    fv = (v - v0)[:, None]
-    u0 = u0.astype(jnp.int32)
-    v0 = v0.astype(jnp.int32)
-
-    # vectorized gather: flatten spatial source, index = y*Ws + x
-    flat = img.reshape(B, C, Hs * Ws)
-
-    def sample(yy, xx):
-        valid = ((yy >= 0) & (yy < Hs)).astype(img.dtype)[:, None]
-        yc = jnp.clip(yy, 0, Hs - 1)
-        xc = jnp.mod(xx, Ws)
-        idx = (yc * Ws + xc).reshape(B, 1, -1)  # (B,1,Ho*Wo)
-        vals = jnp.take_along_axis(flat, jnp.broadcast_to(idx, (B, C, idx.shape[-1])), axis=2)
-        vals = vals.reshape(B, C, *yy.shape[1:])
-        return vals * valid
-
-    p00 = sample(v0, u0)
-    p01 = sample(v0, u0 + 1)
-    p10 = sample(v0 + 1, u0)
-    p11 = sample(v0 + 1, u0 + 1)
-    top = p00 * (1 - fu) + p01 * fu
-    bot = p10 * (1 - fu) + p11 * fu
-    return top * (1 - fv) + bot * fv

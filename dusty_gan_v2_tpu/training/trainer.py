@@ -438,6 +438,21 @@ class Trainer:
             blur_kernel,
         )
 
+    def augment_reals(self, state: GANTrainState, batch, rng, iteration: int):
+        """reals -> warmup -> ADA at the current p; the reference's augmented-reals
+        debug panel (train_gan.py:122-131: `trainer.A(trainer.warmup(reals))`)."""
+        x = fetch_reals(
+            batch, self.min_depth, self.max_depth, self.raydrop_const
+        )["image"]
+        blur_sigma, dropout_ratio = self.warmup_params(iteration)
+        blur_kernel = make_blur_kernel(blur_sigma, self.blur_init_sigma)
+        k1, k2 = jax.random.split(rng)
+        x = warmup_fn(
+            x, k1, dropout_ratio, self.raydrop_const,
+            jnp.asarray(blur_kernel) if blur_kernel is not None else None,
+        )
+        return self.ada(x, state.ada.p, k2)
+
     # ------------------------------------------------------------------ sampling
     def sample(self, state: GANTrainState, z, rng, ema: bool = True, **kwargs):
         variables = (

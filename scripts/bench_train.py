@@ -1,0 +1,116 @@
+"""Ground the training-step perf story: wall-clock, XLA FLOPs, MFU, optional xprof.
+
+Runs the full dusty_v2 64x512 training step (shipped config schedule) on the attached
+accelerator and prints a JSON record per variant:
+
+    python scripts/bench_train.py [--profile DIR] [--batch 32] [--dtype float32|bfloat16]
+
+Used to produce the measured table in BASELINE.md (reference counterpart: the repo
+publishes no numbers; see /root/reference/gans/trainer.py:247-482 for the step shape).
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main():
+    from dusty_gan_v2_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from bench import PEAK_FLOPS_BF16, _device_peak
+    from dusty_gan_v2_tpu.parallel import make_mesh
+    from dusty_gan_v2_tpu.training import Trainer
+    from dusty_gan_v2_tpu.utils.config import load_config
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="configs/gans/dusty_v2.yaml")
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--profile", default=None,
+                        help="capture an xprof trace of a few steps into this dir")
+    args = parser.parse_args()
+
+    cfg = load_config(args.config)
+    cfg.training.batch_size = args.batch
+    cfg.model.generator.compute_dtype = args.dtype
+    cfg.model.discriminator.layer_kwargs.compute_dtype = args.dtype
+
+    mesh = make_mesh(jax.devices()[:1])
+    t = Trainer(cfg, mesh=mesh)
+    state = t.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    res = t.resolution
+    batch = {
+        "depth": jnp.asarray(rng.uniform(2.0, 79.0, (args.batch, 1, *res)).astype(np.float32)),
+        "mask": jnp.asarray((rng.rand(args.batch, 1, *res) > 0.1).astype(np.float32)),
+    }
+
+    def timed(iteration0, label):
+        nonlocal state
+        # warm up / compile this step variant
+        state, m = t.step(state, batch, jax.random.PRNGKey(1), iteration0)
+        jax.block_until_ready(m)
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            state, m = t.step(
+                state, batch, jax.random.PRNGKey(2 + i), iteration0 + i * 48
+            )
+        jax.block_until_ready(m)
+        dt = (time.perf_counter() - t0) / args.iters
+        # FLOPs of the jitted variant via XLA cost analysis
+        fn, *_ = t.get_step_fn(iteration0)
+        flops = 0.0
+        try:
+            blur = jnp.zeros((1,))
+            lowered = fn.lower(
+                state, batch, jax.random.PRNGKey(0),
+                jnp.asarray(0.999, jnp.float32), jnp.asarray(0.0, jnp.float32), blur,
+            )
+            ca = lowered.compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+        except Exception as e:
+            print(f"# cost_analysis unavailable for {label}: {e}", file=sys.stderr)
+        peak = _device_peak()
+        rec = {
+            "step": label,
+            "dtype": args.dtype,
+            "batch": args.batch,
+            "step_ms": round(1e3 * dt, 2),
+            "imgs_per_sec": round(args.batch / dt, 1),
+            "flops_per_step": round(flops) if flops else None,
+            "mfu_pct": round(100 * flops / dt / peak, 2) if flops and peak else None,
+            "device": jax.devices()[0].device_kind,
+        }
+        print(json.dumps(rec))
+        return rec
+
+    # the shipped schedule: adv-only steps dominate (lazy pl=4, gp=16)
+    timed(3, "adv_only")            # 3 % 4 != 0, 3 % 16 != 0
+    timed(4, "adv+pl+ada")          # pl every 4, ada every 4
+    timed(16, "adv+pl+r1+ada")      # r1 every 16
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            for i in range(3):
+                state, m = t.step(state, batch, jax.random.PRNGKey(50 + i), 3)
+            jax.block_until_ready(m)
+        print(f"# xprof trace written to {args.profile}")
+
+
+if __name__ == "__main__":
+    main()

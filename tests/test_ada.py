@@ -276,3 +276,114 @@ class TestDiffAugment:
         s = da.cumulate(s, jnp.ones((16,)))
         s, rt = da.update_p(s)
         assert float(rt) == 1.0 and float(s.p) > 0
+
+
+class TestImgfilterNoiseCutout:
+    """Oracle tests for the ADA pipeline tail (reference adaptive_augment.py:547-621)."""
+
+    def test_apply_imgfilter_matches_torch(self):
+        """Filter application (given per-sample Hz') vs the reference grouped-conv
+        formulation (:585-595) run literally in torch."""
+        from dusty_gan_v2_tpu.augment.ada import apply_imgfilter
+
+        B, C, H, W = 3, 2, 32, 64  # H must exceed taps//2=21 (reflect pad)
+        ada = make_ada(imgfilter=1)
+        taps = int(np.asarray(ada.Hz_fbank).shape[1])
+        img = RNG.randn(B, C, H, W).astype(np.float32)
+        Hz_prime = RNG.randn(B, taps).astype(np.float32)
+
+        got = np.asarray(apply_imgfilter(jnp.asarray(img), jnp.asarray(Hz_prime)))
+
+        # literal torch port of reference :585-595
+        t = torch.from_numpy(img)
+        Hp = torch.from_numpy(Hz_prime).unsqueeze(1).repeat(1, C, 1).reshape(B * C, 1, -1)
+        p = taps // 2
+        t = t.reshape(1, B * C, H, W)
+        t = F.pad(t, (p, p, 0, 0), mode="circular")
+        t = F.pad(t, (0, 0, p, p), mode="reflect")
+        t = F.conv2d(t, Hp.unsqueeze(2), groups=B * C)
+        t = F.conv2d(t, Hp.unsqueeze(3), groups=B * C)
+        ref = t.reshape(B, C, H, W).numpy()
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def test_imgfilter_gains_identity_at_p_zero(self):
+        """p=0: every band gain stays 1, so Hz' = sum of bank rows = ~delta filter;
+        the full imgfilter is then a near-identity (same property as the reference)."""
+        ada = make_ada(imgfilter=1)
+        gains = np.asarray(ada.imgfilter_gains(jnp.zeros(()), jax.random.PRNGKey(0), 4))
+        bank_sum = np.asarray(ada.Hz_fbank).sum(0)
+        np.testing.assert_allclose(gains, np.tile(bank_sum, (4, 1)), rtol=1e-5, atol=1e-6)
+
+        img = jnp.asarray(RNG.randn(2, 1, 32, 64).astype(np.float32))
+        out = np.asarray(ada(img, jnp.zeros(()), jax.random.PRNGKey(1)))
+        np.testing.assert_allclose(out, np.asarray(img), rtol=1e-3, atol=1e-4)
+
+    def test_imgfilter_gains_formula(self):
+        """Gain accumulation (:556-576): numpy replica of the reference formula driven
+        by the same PRNG draws as our implementation."""
+        ada = make_ada(imgfilter=1)
+        B, p = 16, 0.7
+        rng = jax.random.PRNGKey(3)
+        gains = np.asarray(ada.imgfilter_gains(jnp.asarray(p), rng, B))
+
+        ep = np.array([10, 1, 1, 1]) / 13
+        g = np.ones((B, 4))
+        for i, band_strength in enumerate(ada.imgfilter_bands):
+            k1, k2 = jax.random.split(jax.random.fold_in(rng, i))
+            t_i = np.exp2(np.asarray(jax.random.normal(k1, (B,))) * ada.imgfilter_std)
+            on = np.asarray(jax.random.uniform(k2, (B,))) < ada.mul["imgfilter"] * p * band_strength
+            t_i = np.where(on, t_i, 1.0)
+            t = np.ones((B, 4))
+            t[:, i] = t_i
+            t = t / np.sqrt((ep * t**2).sum(-1, keepdims=True))
+            g = g * t
+        ref = g @ np.asarray(ada.Hz_fbank)
+        np.testing.assert_allclose(gains, ref, rtol=1e-5, atol=1e-6)
+
+    def test_cutout_mask_matches_torch(self):
+        from dusty_gan_v2_tpu.augment.ada import cutout_mask
+
+        B, H, W = 4, 16, 32
+        center = RNG.rand(B, 2, 1, 1, 1).astype(np.float32)
+        size = np.full((B, 2, 1, 1, 1), 0.5, np.float32)
+        size[0] = 0.0  # gated-off sample
+        got = np.asarray(cutout_mask(jnp.asarray(center), jnp.asarray(size), H, W))
+
+        # literal torch port of reference :609-620
+        c = torch.from_numpy(center)
+        s = torch.from_numpy(size)
+        coord_x = torch.arange(W).reshape(1, 1, 1, -1)
+        coord_y = torch.arange(H).reshape(1, 1, -1, 1)
+        mask_x = ((coord_x + 0.5) / W - c[:, 0]).abs() >= s[:, 0] / 2
+        mask_y = ((coord_y + 0.5) / H - c[:, 1]).abs() >= s[:, 1] / 2
+        ref = torch.logical_or(mask_x, mask_y).float().numpy()
+        np.testing.assert_array_equal(got.astype(np.float32), ref)
+        assert got[0].all()  # size 0 -> nothing cut
+        assert not got[1].all()  # size 0.5 -> some pixels cut
+
+    def test_noise_statistics(self):
+        """sigma ~ |N(0,1)|*0.1 gated at mul*p: added variance ~= E[sigma^2] = 0.01
+        (reference :598-606). Statistical check at p=1."""
+        ada = make_ada(noise=1)
+        B, C, H, W = 64, 1, 32, 64
+        img = jnp.zeros((B, C, H, W))
+        out = np.asarray(ada(img, jnp.ones(()), jax.random.PRNGKey(5)))
+        per_sample_var = out.reshape(B, -1).var(axis=1)
+        assert per_sample_var.max() > 0  # noise actually applied
+        # E[var] = E[sigma^2] = 0.01 * E[|N|^2] = 0.01
+        assert abs(per_sample_var.mean() - 0.01) < 0.004, per_sample_var.mean()
+
+        # p=0 -> all gated off
+        out0 = np.asarray(ada(img, jnp.zeros(()), jax.random.PRNGKey(6)))
+        np.testing.assert_allclose(out0, 0.0, atol=1e-7)
+
+    def test_cutout_grad_and_gating(self):
+        ada = make_ada(cutout=1)
+        img = jnp.asarray(RNG.randn(4, 1, 16, 32).astype(np.float32))
+        out = np.asarray(ada(img, jnp.ones(()), jax.random.PRNGKey(7)))
+        # at p=1 cutout always fires: each sample loses ~25% of pixels
+        frac_zero = (out == 0).reshape(4, -1).mean(1)
+        assert (frac_zero > 0.1).all() and (frac_zero < 0.5).all(), frac_zero
+
+        g = jax.grad(lambda x: jnp.sum(ada(x, jnp.ones(()), jax.random.PRNGKey(7)) ** 2))(img)
+        assert np.isfinite(np.asarray(g)).all()

@@ -190,3 +190,36 @@ class TestAccumulation:
         np.testing.assert_allclose(
             np.asarray(g0["w"]), np.asarray(g1["w"]), rtol=1e-5
         )
+
+
+class TestAugmentReals:
+    def test_shapes_and_finite(self, trainer_and_state):
+        t, state = trainer_and_state
+        batch = synth_batch(np.random.RandomState(3), t.batch_size, RES)
+        out = t.augment_reals(state, batch, jax.random.PRNGKey(9), iteration=1)
+        assert out.shape == (t.batch_size, 1, *RES)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestFullPolicyStep:
+    """One full step with imgfilter/noise/cutout enabled (the shipped configs keep
+    them off; this proves the whole ADA tail compiles and differentiates through the
+    R1 path). Needs H > fbank_taps//2 = 21 for imgfilter's reflect pad."""
+
+    def test_step_with_full_ada_policy(self):
+        res = (32, 64)
+        cfg = tiny_cfg()
+        cfg.training.lazy = Config({"gp": 1, "pl": 1, "ada": 1})
+        cfg.training.augment.policy.imgfilter = 1
+        cfg.training.augment.policy.noise = 1
+        cfg.training.augment.policy.cutout = 1
+        cfg.training.augment.p_init = 0.5
+        cfg.model.generator.synthesis_kwargs.resolution = list(res)
+        cfg.model.discriminator.layer_kwargs.resolution = list(res)
+        mesh = make_mesh(jax.devices()[:2])
+        t = Trainer(cfg, mesh=mesh, angle=make_angle(res))
+        state = t.init_state(jax.random.PRNGKey(0))
+        batch = synth_batch(np.random.RandomState(5), t.batch_size, res)
+        state, metrics = t.step(state, batch, jax.random.PRNGKey(1), 1)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, v)

@@ -212,6 +212,16 @@ def main():
     )
     z_fixed = jax.random.normal(jax.random.fold_in(key, 99), (8, trainer.z_dim))
 
+    # real panel once at start (reference train_gan.py:98-107)
+    from dusty_gan_v2_tpu.training.trainer import fetch_reals
+
+    first_batch = {k: jnp.asarray(v) for k, v in next(loader).items()
+                   if k in ("depth", "mask")}
+    reals0 = fetch_reals(first_batch, cfg.dataset.min_depth, cfg.dataset.max_depth,
+                         float(cfg.dataset.raydrop_const))
+    log_images(writer, "real", 1, coord=coord, image=reals0["image"][:8],
+               raydrop_mask=reals0["raydrop_mask"][:8])
+
     t_start = time.time()
     for i in range(start_iter + 1, total_iters + 1):
         batch = {k: jnp.asarray(v) for k, v in next(loader).items()
@@ -233,6 +243,11 @@ def main():
                            for k, v in list(moving.items())[:4]))
 
         if i % int(ckpt_cfg.save_image) == 0:
+            # augmented reals at the current ADA p (reference train_gan.py:122-131)
+            reals_aug = trainer.augment_reals(
+                state, batch, jax.random.fold_in(key, 2 * i + 1), i
+            )
+            log_images(writer, "real", num_imgs, image_aug=reals_aug[:8])
             fakes = trainer.sample(state, z_fixed, jax.random.fold_in(key, -i), ema=True)
             log_images(
                 writer, "fake", num_imgs, coord=coord,
