@@ -1,3 +1,19 @@
-from .mesh import DATA_AXIS, data_sharding, local_batch, make_mesh, replicated
+from .mesh import (
+    DATA_AXIS,
+    data_sharding,
+    global_batch,
+    init_distributed,
+    local_batch,
+    make_mesh,
+    replicated,
+)
 
-__all__ = ["DATA_AXIS", "data_sharding", "local_batch", "make_mesh", "replicated"]
+__all__ = [
+    "DATA_AXIS",
+    "data_sharding",
+    "global_batch",
+    "init_distributed",
+    "local_batch",
+    "make_mesh",
+    "replicated",
+]

@@ -79,10 +79,29 @@ def main():
     u = np.clip(np.random.rand(1, 1, H, W).astype(np.float32), 1e-6, 1 - 1e-6)
     fixed_logistic = jnp.asarray(np.log(u) - np.log1p(-u))
 
+    # fan generation + feature extraction out over every attached device (the
+    # reference spawns one process per GPU, test_gan.py:187-199; here the batch
+    # axis is sharded over the mesh and XLA SPMD does the rest)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dusty_gan_v2_tpu.parallel import DATA_AXIS, make_mesh
+
+    mesh = make_mesh()
+    n_dev = mesh.shape[DATA_AXIS]
+    if args.batch_size % n_dev:
+        args.batch_size = ((args.batch_size + n_dev - 1) // n_dev) * n_dev
+        print(f"batch_size rounded up to {args.batch_size} ({n_dev} devices)")
+    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+
     @jax.jit
     def generate(z):
         o = G.apply(g_vars, z, angle, gumbel_noise=fixed_logistic)
         return o["image"]
+
+    g_vars = jax.device_put(g_vars, repl)
+    angle = jax.device_put(angle, repl)
+    fixed_logistic = jax.device_put(fixed_logistic, repl)
 
     @jax.jit
     def to_outputs(img_tanh):
@@ -102,8 +121,9 @@ def main():
         done = 0
         while done < n:
             b = min(args.batch_size, n - done)
+            b = ((b + n_dev - 1) // n_dev) * n_dev  # keep shardable (trim below)
             rng, k = jax.random.split(rng)
-            z = jax.random.normal(k, (b, z_dim))
+            z = jax.device_put(jax.random.normal(k, (b, z_dim)), batch_sharding)
             img = generate(z)
             i, p, f = to_outputs(img)
             imgs.append(np.asarray(i))

@@ -223,3 +223,17 @@ class TestFullPolicyStep:
         state, metrics = t.step(state, batch, jax.random.PRNGKey(1), 1)
         for k, v in metrics.items():
             assert np.isfinite(float(v)), (k, v)
+
+
+class TestGlobalBatchStep:
+    def test_step_consumes_globally_sharded_batch(self, trainer_and_state):
+        """train_gan.py now assembles batches with parallel.global_batch (multi-host
+        path); the jitted shard_map step must accept the pre-sharded arrays."""
+        from dusty_gan_v2_tpu.parallel import global_batch
+
+        t, state = trainer_and_state
+        raw = synth_batch(np.random.RandomState(11), t.batch_size, RES)
+        batch = global_batch(t.mesh, {k: np.asarray(v) for k, v in raw.items()})
+        state2, metrics = t.step(fresh(state), batch, jax.random.PRNGKey(2), 3)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, v)

@@ -151,6 +151,12 @@ def main():
     parser.add_argument("--num_workers", type=int, default=4)
     parser.add_argument("--pointnet_ckpt", default=None,
                         help="path to cls_model_39.pth for FPD validation")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize before training "
+                             "(params auto-detected; see --coordinator etc.)")
+    parser.add_argument("--coordinator", default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args()
 
     cfg = load_config(args.config)
@@ -158,11 +164,22 @@ def main():
         print(json.dumps(cfg.to_dict(), indent=2, default=str))
         return
 
+    if args.distributed:
+        from dusty_gan_v2_tpu.parallel import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
+    rank = jax.process_index()
+    world = jax.process_count()
+    is_chief = rank == 0
+
+    # NOTE: the same seed on every host — params/z draws must be identical across
+    # processes (replicated state); per-device divergence happens inside the step
+    # via fold_in(axis_index). Only the data sampler is rank-sharded.
     key = init_random_seed(int(cfg.training.random_seed))
 
     trainer = Trainer(cfg)
-    print(f"devices: {jax.device_count()} | global batch {trainer.batch_size} "
-          f"({trainer.B_local}/device)")
+    print(f"devices: {jax.device_count()} ({world} hosts) | "
+          f"global batch {trainer.batch_size} ({trainer.B_local}/device)")
 
     # log dir
     if args.log_dir is None:
@@ -182,9 +199,16 @@ def main():
         root=cfg.dataset.root, split="train", shape=trainer.resolution,
         min_depth=cfg.dataset.min_depth, max_depth=cfg.dataset.max_depth,
     )
-    sampler = InfiniteSampler(len(dataset), seed=int(cfg.random_seed))
+    # rank-sharded infinite sampler (reference gans/utils.py:238-271 + trainer.py:104):
+    # every host draws an interleaved slice of the same shuffled stream and loads
+    # only its share of the global batch.
+    assert trainer.batch_size % world == 0, (trainer.batch_size, world)
+    sampler = InfiniteSampler(
+        len(dataset), rank=rank, num_replicas=world, seed=int(cfg.random_seed)
+    )
     loader = iter(
-        Prefetcher(dataset, trainer.batch_size, sampler, num_workers=args.num_workers)
+        Prefetcher(dataset, trainer.batch_size // world, sampler,
+                   num_workers=args.num_workers)
     )
 
     state = trainer.init_state(key)
@@ -212,27 +236,30 @@ def main():
     )
     z_fixed = jax.random.normal(jax.random.fold_in(key, 99), (8, trainer.z_dim))
 
-    # real panel once at start (reference train_gan.py:98-107)
+    # real panel once at start (reference train_gan.py:98-107); panels are computed
+    # from the chief's host-local rows — no cross-host transfers needed
+    from dusty_gan_v2_tpu.parallel import global_batch
     from dusty_gan_v2_tpu.training.trainer import fetch_reals
 
-    first_batch = {k: jnp.asarray(v) for k, v in next(loader).items()
-                   if k in ("depth", "mask")}
-    reals0 = fetch_reals(first_batch, cfg.dataset.min_depth, cfg.dataset.max_depth,
-                         float(cfg.dataset.raydrop_const))
-    log_images(writer, "real", 1, coord=coord, image=reals0["image"][:8],
-               raydrop_mask=reals0["raydrop_mask"][:8])
+    raw = {k: v for k, v in next(loader).items() if k in ("depth", "mask")}
+    if is_chief:
+        local8 = {k: jnp.asarray(v[:8]) for k, v in raw.items()}
+        reals0 = fetch_reals(local8, cfg.dataset.min_depth, cfg.dataset.max_depth,
+                             float(cfg.dataset.raydrop_const))
+        log_images(writer, "real", 1, coord=coord, image=reals0["image"],
+                   raydrop_mask=reals0["raydrop_mask"])
 
     t_start = time.time()
     for i in range(start_iter + 1, total_iters + 1):
-        batch = {k: jnp.asarray(v) for k, v in next(loader).items()
-                 if k in ("depth", "mask")}
+        raw = {k: v for k, v in next(loader).items() if k in ("depth", "mask")}
+        batch = global_batch(trainer.mesh, raw)
         state, metrics = trainer.step(state, batch, jax.random.fold_in(key, i), i)
         num_imgs = i * trainer.batch_size
 
         for k, v in metrics.items():
             moving[k].append(float(v))
 
-        if i % int(ckpt_cfg.save_stats) == 0:
+        if is_chief and i % int(ckpt_cfg.save_stats) == 0:
             for k, dq in moving.items():
                 writer.add_scalar(k, float(np.mean(dq)), num_imgs)
             ips = trainer.batch_size * i / (time.time() - t_start)
@@ -242,13 +269,17 @@ def main():
                   " ".join(f"{k.split('/')[-1]}={np.mean(v):.3f}"
                            for k, v in list(moving.items())[:4]))
 
-        if i % int(ckpt_cfg.save_image) == 0:
-            # augmented reals at the current ADA p (reference train_gan.py:122-131)
+        if is_chief and i % int(ckpt_cfg.save_image) == 0:
+            # augmented reals at the current ADA p (reference train_gan.py:122-131).
+            # Multi-host: side-band panels run as *local* compute on the chief —
+            # device_get the replicated state so no global program is launched.
+            sbs = state if world == 1 else jax.device_get(state)
+            local8 = {k: jnp.asarray(v[:8]) for k, v in raw.items()}
             reals_aug = trainer.augment_reals(
-                state, batch, jax.random.fold_in(key, 2 * i + 1), i
+                sbs, local8, jax.random.fold_in(key, 2 * i + 1), i
             )
-            log_images(writer, "real", num_imgs, image_aug=reals_aug[:8])
-            fakes = trainer.sample(state, z_fixed, jax.random.fold_in(key, -i), ema=True)
+            log_images(writer, "real", num_imgs, image_aug=reals_aug)
+            fakes = trainer.sample(sbs, z_fixed, jax.random.fold_in(key, -i), ema=True)
             log_images(
                 writer, "fake", num_imgs, coord=coord,
                 image=fakes.get("image"), image_orig=fakes.get("image_orig"),
@@ -256,18 +287,20 @@ def main():
                 raydrop_mask=fakes.get("raydrop_mask"),
             )
 
-        if pointnet_params is not None and i % int(ckpt_cfg.validation) == 0:
+        if (is_chief and pointnet_params is not None
+                and i % int(ckpt_cfg.validation) == 0):
             def loader_factory():
                 return iter(Prefetcher(dataset, int(cfg.validation.batch_size),
                                        num_workers=args.num_workers))
 
+            sbs = state if world == 1 else jax.device_get(state)
             scores = validation_fpd_kpd(
-                trainer, state, loader_factory, pointnet_params, real_feats_cache
+                trainer, sbs, loader_factory, pointnet_params, real_feats_cache
             )
             for k, v in scores.items():
                 writer.add_scalar("score/" + k, v, num_imgs)
 
-        if i % int(ckpt_cfg.save_model) == 0 or i == total_iters:
+        if is_chief and (i % int(ckpt_cfg.save_model) == 0 or i == total_iters):
             path = log_dir / "models" / f"checkpoint_{num_imgs:010d}.ckpt"
             save_checkpoint(str(path), cfg, state, trainer.angle, num_imgs)
 
