@@ -87,7 +87,8 @@ def main():
     num_classes = int(cfg.dataset.num_classes)
     modalities = tuple(cfg.arch.inputs)
 
-    ds = KITTIRawFrontal(root=args.dataset_root, split="val", omit_cyclist=True)
+    ds = KITTIRawFrontal(root=args.dataset_root, split="val",
+                         shape=tuple(cfg.dataset.shape), omit_cyclist=True)
 
     @jax.jit
     def predict(x, xyz, mask):

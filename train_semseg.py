@@ -54,25 +54,36 @@ def make_inputs(item, modalities):
 def build_dataset(cfg):
     name = cfg.dataset.name
     flip = bool(cfg.dataset.random_flip)
+    root = cfg.dataset.get("root", "data/kitti_raw_frontal")
+    shape = tuple(cfg.dataset.shape)
+    kw = dict(root=root, shape=shape, flip=flip)
     if name == "kitti_raw_frontal":
-        train = KITTIRawFrontal(split="train", flip=flip)
+        train = KITTIRawFrontal(split="train", **kw)
     elif name == "gta_lidar":
-        drop = np.load("data/avg_raydrop/kitti_raw_frontal.npy")
-        train = GTALiDAR(flip=flip, raydrop_p=drop)
+        drop = _resize_drop_map(np.load("data/avg_raydrop/kitti_raw_frontal.npy"), shape)
+        train = GTALiDAR(raydrop_p=drop, **kw)
     elif name == "gta_lidar_w_uniform_noise":
         drop = np.load("data/avg_raydrop/kitti_raw_frontal.npy")
-        drop = np.full_like(drop, drop.mean())
-        train = GTALiDAR(flip=flip, raydrop_p=drop)
+        drop = np.full(shape, drop.mean(), np.float32)
+        train = GTALiDAR(raydrop_p=drop, **kw)
     elif name == "gta_lidar_w_gan_noise_dustyv1":
-        train = GTALiDAR_GAN(flip=flip, gan_dir="GTAV_noise_v1")
+        train = GTALiDAR_GAN(gan_dir="GTAV_noise_v1", **kw)
     elif name == "gta_lidar_w_gan_noise_dustyv2":
-        train = GTALiDAR_GAN(flip=flip, gan_dir="GTAV_noise_v2")
+        train = GTALiDAR_GAN(gan_dir="GTAV_noise_v2", **kw)
     elif name == "gta_lidar_wo_noise":
-        train = GTALiDAR(flip=flip, raydrop_p=None)
+        train = GTALiDAR(raydrop_p=None, **kw)
     else:
         raise ValueError(name)
-    val = KITTIRawFrontal(split="val")
+    val = KITTIRawFrontal(split="val", root=root, shape=shape)
     return train, val
+
+
+def _resize_drop_map(drop, shape):
+    from dusty_gan_v2_tpu.datasets.kitti import nearest_resize_hw
+
+    if drop.shape == tuple(shape):
+        return drop.astype(np.float32)
+    return nearest_resize_hw(drop[..., None].astype(np.float32), shape)[..., 0]
 
 
 def build_model(cfg):
