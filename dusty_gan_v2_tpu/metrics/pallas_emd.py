@@ -1,31 +1,32 @@
 """Pallas TPU kernel: fully-fused approximate EMD (approxmatch + cost).
 
-The XLA formulation (metrics/distance.py) materializes the (N,M) kernel matrix
-K = exp(level * D) in HBM once per annealing level. This kernel keeps everything
-on-chip (HBM traffic = xyz inputs only):
+The XLA formulation (metrics/distance.py) materializes the (N,M) distance matrix D
+and sqrt(D) in HBM and streams both through every annealing level — ~2*N*M*4 bytes
+x 9 levels of HBM traffic per pair; at N=M=2048 that is HBM-bound (measured 58 ms /
+64 pairs on v5e).
 
-  * xyz tiles live in VMEM; distance blocks D are recomputed on the MXU
-    (|x|^2 + |y|^2 - 2 x.y^T) whenever needed — FLOPs are ~free here;
-  * the per-level supply/demand vectors (remainL/R, ratioL/R) are VMEM scratch;
-  * each annealing level runs the same three sweeps as the CUDA kernel
-    (earth_mover_distance.cu:3-198): row ratios -> column consumption -> transport
-    + cost accumulation. The transported-mass matrix is never materialized; only the
-    scalar cost leaves the chip.
+This kernel keeps the whole working set on-chip (HBM traffic = the xyz inputs only):
 
-Numerics follow metrics/distance.py exactly (1e-9 regularizers, clamps, C-int-division
-multipliers), so `emd_pallas == earth_mover_distance` up to float reassociation
-(measured <= 2e-5 relative on TPU).
+  * the (N,M) kernel matrix K = exp(level * D) lives in VMEM **across the level's
+    passes** (16.8 MB f32 at 2048^2 — v5e VMEM is 128 MiB), so exp runs ONCE per
+    level (the old kernel recomputed D+exp 3x per level and lost to XLA);
+  * D blocks are recomputed on the MXU whenever needed (|x|^2+|y|^2-2xy as a
+    HIGHEST-precision dot — bf16 passes would corrupt exp(-4^7 d); FLOPs are free
+    here), including a second time in the transport pass where sqrt(d) is needed;
+  * all supply/demand reductions (denomL, sumr, acc_n, cost) are MXU matvecs;
+    the VPU only does exp + one multiply + one sqrt per element per level;
+  * per-level sweeps mirror the CUDA kernel (earth_mover_distance.cu:3-198):
+    pass A row ratios -> fused pass B+C column consumption + transport + cost.
 
-Measured on v5e at B=64, N=M=2048: 70 ms/batch vs 58 ms for the fused XLA scan — the
-algorithm is VPU-bound (exp/multiply chains dominate) and this kernel recomputes D
-3x per level to stay on-chip, so XLA's HBM streaming currently wins single-batch; the
-kernel is kept as an option for HBM-contended settings (e.g. metric evaluation
-overlapped with training) and as the base for a bf16-VPU variant (ROADMAP).
+Numerics follow metrics/distance.py exactly (1e-9 regularizers, clamps,
+C-int-division multipliers); parity with the XLA path is tested in interpret mode
+and measured <= 1e-4 relative on TPU.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -33,16 +34,17 @@ import numpy as np
 
 __all__ = ["emd_pallas", "emd_pallas_available"]
 
+_LOG2E = 1.4426950408889634  # exp(x) == exp2(x * log2(e)); exp2 is the native op
 
-def _build_kernel(n: int, m: int, tm: int, levels):
+
+def _build_kernel(n: int, m: int, tm: int, num_levels: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_chunks = m // tm
-    num_levels = len(levels)
 
     def kernel(xyz1_ref, xyz2_ref, cost_ref,
-               remainL, remainR, ratioL, ratioR, x2_ref, y2_ref, acc_n, acc_m):
+               K_ref, remainL, remainR, ratioL, ratioR, x2_ref, y2_ref, acc_n):
         x1 = xyz1_ref[0]  # (n, 3)
         x2_full = xyz2_ref[0]  # (m, 3)
         x2_ref[:] = jnp.sum(jnp.square(x1), axis=1, keepdims=True).T  # (1, n)
@@ -52,59 +54,76 @@ def _build_kernel(n: int, m: int, tm: int, levels):
 
         def dist_block(ci):
             y_blk = xyz2_ref[0, pl.ds(ci * tm, tm), :]  # (tm, 3)
-            # exact f32 K=3 contraction as three broadcast FMAs (the MXU's default
-            # bf16 dot loses ~1e-2 absolute here, which the exp(-4^7 d) annealing
-            # amplifies into % -level metric errors)
-            xy = x1[:, 0][:, None] * y_blk[:, 0][None, :]
-            xy += x1[:, 1][:, None] * y_blk[:, 1][None, :]
-            xy += x1[:, 2][:, None] * y_blk[:, 2][None, :]
+            xy = jax.lax.dot_general(
+                x1, y_blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (n, tm) on the MXU; f32-exact (3 bf16 passes)
             y2_blk = y2_ref[0, pl.ds(ci * tm, tm)]
             d = x2_ref[0, :][:, None] + y2_blk[None, :] - 2.0 * xy
             return jnp.maximum(d, 0.0)
 
         def level_body(li, cost):
-            # level = -4^(7 - li)
+            # level = -4^(7 - li); exp(level*d) computed as exp2(level2*d)
             j = 7.0 - li.astype(jnp.float32)
-            level = -jnp.exp2(2.0 * j)
+            level2 = -jnp.exp2(2.0 * j) * _LOG2E
 
-            # pass A: denomL over all column chunks -> ratioL
-            acc_n[:] = jnp.zeros((1, n), jnp.float32)
-
+            # pass A: build K for this level (once), accumulate denomL -> ratioL
             def pass_a(ci, _):
-                K = jnp.exp(level * dist_block(ci))  # (n, tm)
-                r = remainR[0, pl.ds(ci * tm, tm)]  # (tm,)
-                acc_n[:] = acc_n[:] + jnp.sum(K * r[None, :], axis=1)[None, :]
+                k = jnp.exp2(level2 * dist_block(ci))  # (n, tm)
+                K_ref[:, pl.ds(ci * tm, tm)] = k
+                r = remainR[0, pl.ds(ci * tm, tm)][:, None]  # (tm, 1)
+                kv = jax.lax.dot_general(
+                    k, r, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (n, 1)
+                acc_n[:] = acc_n[:] + kv.T
                 return 0
 
-            jax.lax.fori_loop(0, n_chunks, pass_a, 0)
+            acc_n[:] = jnp.zeros((1, n), jnp.float32)
+            jax.lax.fori_loop(0, n_chunks, pass_a, 0, unroll=True)
             ratioL[:] = remainL[:] / (1e-9 + acc_n[:])
 
-            # pass B: per-chunk column consumption, update remainR
-            def pass_b(ci, _):
-                K = jnp.exp(level * dist_block(ci))
-                sumr = jnp.sum(K * ratioL[0, :][:, None], axis=0)  # (tm,)
-                r = remainR[0, pl.ds(ci * tm, tm)]
-                sumr = sumr * r
-                consumption = jnp.minimum(r / (sumr + 1e-9), 1.0)
-                ratioR[0, pl.ds(ci * tm, tm)] = consumption * r
-                remainR[0, pl.ds(ci * tm, tm)] = jnp.maximum(0.0, r - sumr)
-                return 0
-
-            jax.lax.fori_loop(0, n_chunks, pass_b, 0)
-
-            # pass C: transport + cost, update remainL
+            # fused pass B+C per chunk: column consumption, then transport + cost,
+            # reusing the K tile resident in VMEM (no second exp)
             acc_n[:] = jnp.zeros((1, n), jnp.float32)
 
-            def pass_c(ci, cost):
-                d = dist_block(ci)
-                K = jnp.exp(level * d)
-                w = K * ratioL[0, :][:, None] * ratioR[0, pl.ds(ci * tm, tm)][None, :]
-                cost = cost + jnp.sum(w * jnp.sqrt(d))
-                acc_n[:] = acc_n[:] + jnp.sum(w, axis=1)[None, :]
+            def pass_bc(ci, cost):
+                k = K_ref[:, pl.ds(ci * tm, tm)]  # (n, tm)
+                r = remainR[0, pl.ds(ci * tm, tm)]  # (tm,)
+                sumr = jax.lax.dot_general(
+                    ratioL[:], k, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )[0]  # (tm,)
+                sumr = sumr * r
+                consumption = jnp.minimum(r / (sumr + 1e-9), 1.0)
+                rr = consumption * r  # ratioR for this chunk
+                remainR[0, pl.ds(ci * tm, tm)] = jnp.maximum(0.0, r - sumr)
+
+                # transport: w = k * ratioL^T rr; never materialized —
+                #   cost  += ratioL @ (k ⊙ sqrt(d)) @ rr
+                #   acc_n += ratioL ⊙ (k @ rr)      (row sums of w)
+                d = dist_block(ci)  # recomputed on MXU; sqrt needs d, K does not
+                ks = k * jnp.sqrt(d)
+                tmp = jax.lax.dot_general(
+                    ratioL[:], ks, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (1, tm)
+                cost = cost + jnp.sum(tmp[0] * rr)
+                krr = jax.lax.dot_general(
+                    k, rr[:, None], dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (n, 1)
+                acc_n[:] = acc_n[:] + krr.T
                 return cost
 
-            cost = jax.lax.fori_loop(0, n_chunks, pass_c, cost)
-            remainL[:] = jnp.maximum(0.0, remainL[:] - acc_n[:])
+            cost = jax.lax.fori_loop(0, n_chunks, pass_bc, cost, unroll=True)
+            remainL[:] = jnp.maximum(0.0, remainL[:] - ratioL[:] * acc_n[:])
             return cost
 
         cost = jax.lax.fori_loop(0, num_levels, level_body, jnp.zeros((), jnp.float32))
@@ -120,8 +139,7 @@ def _build_call(B: int, n: int, m: int, tm: int, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    levels = tuple(-(4.0**j) for j in range(7, -2, -1))
-    kernel = _build_kernel(n, m, tm, levels)
+    kernel = _build_kernel(n, m, tm, num_levels=9)
 
     grid = (B,)
     in_specs = [
@@ -130,24 +148,22 @@ def _build_call(B: int, n: int, m: int, tm: int, interpret: bool):
     ]
     out_specs = pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
 
-    adapter = kernel  # kernel indexes the (1,n,3)/(1,m,3) refs directly
-
     def call(xyz1, xyz2):
         return pl.pallas_call(
-            adapter,
+            kernel,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
             scratch_shapes=[
+                pltpu.VMEM((n, m), jnp.float32),  # K, resident across passes
                 pltpu.VMEM((1, n), jnp.float32),  # remainL
                 pltpu.VMEM((1, m), jnp.float32),  # remainR
                 pltpu.VMEM((1, n), jnp.float32),  # ratioL
-                pltpu.VMEM((1, m), jnp.float32),  # ratioR
-                pltpu.VMEM((1, n), jnp.float32),  # x2
-                pltpu.VMEM((1, m), jnp.float32),  # y2
+                pltpu.VMEM((1, m), jnp.float32),  # ratioR (spare)
+                pltpu.VMEM((1, n), jnp.float32),  # x^2
+                pltpu.VMEM((1, m), jnp.float32),  # y^2
                 pltpu.VMEM((1, n), jnp.float32),  # acc_n
-                pltpu.VMEM((1, m), jnp.float32),  # acc_m (unused spare)
             ],
             interpret=interpret,
         )(xyz1, xyz2)

@@ -130,7 +130,9 @@ def main():
             pts.append(np.asarray(p))
             feats.append(np.asarray(f))
             done += b
-        return (np.concatenate(imgs), np.concatenate(pts), np.concatenate(feats))
+        # the divisibility round-up can overshoot; trim to exactly n
+        return (np.concatenate(imgs)[:n], np.concatenate(pts)[:n],
+                np.concatenate(feats)[:n])
 
     def collect_real(split):
         root = args.dataset_root or cfg.dataset.root

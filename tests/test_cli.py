@@ -102,3 +102,20 @@ class TestDemoInterpolation:
         import os
 
         assert os.path.exists(out)
+
+
+class TestTestGanGeneration:
+    def test_sharded_generation_smoke(self, tiny_ckpt, tmp_path, monkeypatch):
+        """test_gan's mesh-sharded generation path (no dataset-dependent metrics):
+        50-sample generation must run on the virtual 8-device mesh and write an
+        (empty) scores file."""
+        test_gan = load_cli("test_gan")
+
+        out = str(tmp_path / "scores.json")
+        monkeypatch.setattr(
+            sys, "argv",
+            ["test_gan.py", "--ckpt_path", tiny_ckpt, "--metrics", "none",
+             "--num_samples", "50", "--batch_size", "16", "--out", out],
+        )
+        test_gan.main()
+        assert json.load(open(out)) == {}
