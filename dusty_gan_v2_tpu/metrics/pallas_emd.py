@@ -8,8 +8,10 @@ x 9 levels of HBM traffic per pair; at N=M=2048 that is HBM-bound (measured 58 m
 This kernel keeps the whole working set on-chip (HBM traffic = the xyz inputs only):
 
   * the (N,M) kernel matrix K = exp(level * D) lives in VMEM **across the level's
-    passes** (16.8 MB f32 at 2048^2 — v5e VMEM is 128 MiB), so exp runs ONCE per
-    level (the old kernel recomputed D+exp 3x per level and lost to XLA);
+    passes**, stored chunk-major (n_chunks, N, TM) so all dynamic indexing is on the
+    major axis (lane-dim dynamic slices would force full-size temporaries). exp runs
+    ONCE per level — the previous kernel recomputed D+exp 3x per level and lost to
+    the XLA scan;
   * D blocks are recomputed on the MXU whenever needed (|x|^2+|y|^2-2xy as a
     HIGHEST-precision dot — bf16 passes would corrupt exp(-4^7 d); FLOPs are free
     here), including a second time in the transport pass where sqrt(d) is needed;
@@ -20,13 +22,12 @@ This kernel keeps the whole working set on-chip (HBM traffic = the xyz inputs on
 
 Numerics follow metrics/distance.py exactly (1e-9 regularizers, clamps,
 C-int-division multipliers); parity with the XLA path is tested in interpret mode
-and measured <= 1e-4 relative on TPU.
+and measured on TPU (see BASELINE.md).
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -44,25 +45,23 @@ def _build_kernel(n: int, m: int, tm: int, num_levels: int):
     n_chunks = m // tm
 
     def kernel(xyz1_ref, xyz2_ref, cost_ref,
-               K_ref, remainL, remainR, ratioL, ratioR, x2_ref, y2_ref, acc_n):
+               D_ref, K_ref, remainL, remainR, ratioL, x2_ref, y2_ref, acc_n):
         x1 = xyz1_ref[0]  # (n, 3)
-        x2_full = xyz2_ref[0]  # (m, 3)
         x2_ref[:] = jnp.sum(jnp.square(x1), axis=1, keepdims=True).T  # (1, n)
-        y2_ref[:] = jnp.sum(jnp.square(x2_full), axis=1, keepdims=True).T  # (1, m)
         remainL[:] = jnp.full((1, n), float(1.0 if n >= m else m // n), jnp.float32)
-        remainR[:] = jnp.full((1, m), float(n // m if n >= m else 1.0), jnp.float32)
 
-        def dist_block(ci):
-            y_blk = xyz2_ref[0, pl.ds(ci * tm, tm), :]  # (tm, 3)
-            xy = jax.lax.dot_general(
-                x1, y_blk,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (n, tm) on the MXU; f32-exact (3 bf16 passes)
-            y2_blk = y2_ref[0, pl.ds(ci * tm, tm)]
-            d = x2_ref[0, :][:, None] + y2_blk[None, :] - 2.0 * xy
-            return jnp.maximum(d, 0.0)
+        # build D once per pair (level-independent); VPU broadcast FMAs beat a
+        # K=3 HIGHEST MXU dot here (tiny contraction dim wastes the systolic array)
+        for ci in range(n_chunks):  # static unroll
+            y_blk = xyz2_ref[0, ci * tm:(ci + 1) * tm, :]
+            y2_ref[ci] = jnp.sum(jnp.square(y_blk), axis=1, keepdims=True).T
+            remainR[ci] = jnp.full((1, tm), float(n // m if n >= m else 1.0),
+                                   jnp.float32)
+            xy = x1[:, 0][:, None] * y_blk[:, 0][None, :]
+            xy += x1[:, 1][:, None] * y_blk[:, 1][None, :]
+            xy += x1[:, 2][:, None] * y_blk[:, 2][None, :]
+            d = x2_ref[0, :][:, None] + y2_ref[ci][0][None, :] - 2.0 * xy
+            D_ref[ci] = jnp.maximum(d, 0.0)
 
         def level_body(li, cost):
             # level = -4^(7 - li); exp(level*d) computed as exp2(level2*d)
@@ -71,58 +70,37 @@ def _build_kernel(n: int, m: int, tm: int, num_levels: int):
 
             # pass A: build K for this level (once), accumulate denomL -> ratioL
             def pass_a(ci, _):
-                k = jnp.exp2(level2 * dist_block(ci))  # (n, tm)
-                K_ref[:, pl.ds(ci * tm, tm)] = k
-                r = remainR[0, pl.ds(ci * tm, tm)][:, None]  # (tm, 1)
-                kv = jax.lax.dot_general(
-                    k, r, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (n, 1)
-                acc_n[:] = acc_n[:] + kv.T
+                k = jnp.exp2(level2 * D_ref[ci])  # the only exp of the level
+                K_ref[ci] = k
+                r = remainR[ci]  # (1, tm)
+                acc_n[:] = acc_n[:] + jnp.sum(k * r, axis=1)[None, :]
                 return 0
 
             acc_n[:] = jnp.zeros((1, n), jnp.float32)
-            jax.lax.fori_loop(0, n_chunks, pass_a, 0, unroll=True)
+            jax.lax.fori_loop(0, n_chunks, pass_a, 0)
             ratioL[:] = remainL[:] / (1e-9 + acc_n[:])
 
             # fused pass B+C per chunk: column consumption, then transport + cost,
-            # reusing the K tile resident in VMEM (no second exp)
+            # reusing the K and D tiles resident in VMEM (no recompute)
             acc_n[:] = jnp.zeros((1, n), jnp.float32)
 
             def pass_bc(ci, cost):
-                k = K_ref[:, pl.ds(ci * tm, tm)]  # (n, tm)
-                r = remainR[0, pl.ds(ci * tm, tm)]  # (tm,)
-                sumr = jax.lax.dot_general(
-                    ratioL[:], k, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )[0]  # (tm,)
-                sumr = sumr * r
+                k = K_ref[ci]  # (n, tm)
+                r = remainR[ci]  # (1, tm)
+                sumr = jnp.sum(k * ratioL[:].T, axis=0)[None, :] * r  # (1, tm)
                 consumption = jnp.minimum(r / (sumr + 1e-9), 1.0)
-                rr = consumption * r  # ratioR for this chunk
-                remainR[0, pl.ds(ci * tm, tm)] = jnp.maximum(0.0, r - sumr)
+                rr = consumption * r  # ratioR for this chunk, (1, tm)
+                remainR[ci] = jnp.maximum(0.0, r - sumr)
 
                 # transport: w = k * ratioL^T rr; never materialized —
-                #   cost  += ratioL @ (k ⊙ sqrt(d)) @ rr
-                #   acc_n += ratioL ⊙ (k @ rr)      (row sums of w)
-                d = dist_block(ci)  # recomputed on MXU; sqrt needs d, K does not
-                ks = k * jnp.sqrt(d)
-                tmp = jax.lax.dot_general(
-                    ratioL[:], ks, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (1, tm)
-                cost = cost + jnp.sum(tmp[0] * rr)
-                krr = jax.lax.dot_general(
-                    k, rr[:, None], dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (n, 1)
-                acc_n[:] = acc_n[:] + krr.T
+                #   cost  += sum(ratioL^T (k . sqrt(D)) rr)   (2-D reduction)
+                #   acc_n += row sums of k . rr               (w = that . ratioL)
+                krs = k * rr  # broadcast over rows
+                cost = cost + jnp.sum((krs * jnp.sqrt(D_ref[ci])) * ratioL[:].T)
+                acc_n[:] = acc_n[:] + jnp.sum(krs, axis=1)[None, :]
                 return cost
 
-            cost = jax.lax.fori_loop(0, n_chunks, pass_bc, cost, unroll=True)
+            cost = jax.lax.fori_loop(0, n_chunks, pass_bc, cost)
             remainL[:] = jnp.maximum(0.0, remainL[:] - ratioL[:] * acc_n[:])
             return cost
 
@@ -139,6 +117,7 @@ def _build_call(B: int, n: int, m: int, tm: int, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    n_chunks = m // tm
     kernel = _build_kernel(n, m, tm, num_levels=9)
 
     grid = (B,)
@@ -148,6 +127,10 @@ def _build_call(B: int, n: int, m: int, tm: int, interpret: bool):
     ]
     out_specs = pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
 
+    # K resident (n*m*4) + live (n,tm) temporaries; Mosaic's stack accounting is
+    # conservative (measured ~114M at 2048^2/tm=512), so grant the full budget
+    vmem_bytes = 127 * 2**20
+
     def call(xyz1, xyz2):
         return pl.pallas_call(
             kernel,
@@ -155,14 +138,15 @@ def _build_call(B: int, n: int, m: int, tm: int, interpret: bool):
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(vmem_bytes)),
             scratch_shapes=[
-                pltpu.VMEM((n, m), jnp.float32),  # K, resident across passes
+                pltpu.VMEM((n_chunks, n, tm), jnp.float32),  # D, chunk-major
+                pltpu.VMEM((n_chunks, n, tm), jnp.float32),  # K, chunk-major
                 pltpu.VMEM((1, n), jnp.float32),  # remainL
-                pltpu.VMEM((1, m), jnp.float32),  # remainR
+                pltpu.VMEM((n_chunks, 1, tm), jnp.float32),  # remainR, chunk-major
                 pltpu.VMEM((1, n), jnp.float32),  # ratioL
-                pltpu.VMEM((1, m), jnp.float32),  # ratioR (spare)
                 pltpu.VMEM((1, n), jnp.float32),  # x^2
-                pltpu.VMEM((1, m), jnp.float32),  # y^2
+                pltpu.VMEM((n_chunks, 1, tm), jnp.float32),  # y^2, chunk-major
                 pltpu.VMEM((1, n), jnp.float32),  # acc_n
             ],
             interpret=interpret,

@@ -151,6 +151,8 @@ def main():
     parser.add_argument("--num_workers", type=int, default=4)
     parser.add_argument("--pointnet_ckpt", default=None,
                         help="path to cls_model_39.pth for FPD validation")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture an xprof trace of steps 20-25 into DIR")
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host: jax.distributed.initialize before training "
                              "(params auto-detected; see --coordinator etc.)")
@@ -251,9 +253,15 @@ def main():
 
     t_start = time.time()
     for i in range(start_iter + 1, total_iters + 1):
+        if args.profile and i - start_iter == 20:
+            jax.profiler.start_trace(args.profile)
         raw = {k: v for k, v in next(loader).items() if k in ("depth", "mask")}
         batch = global_batch(trainer.mesh, raw)
         state, metrics = trainer.step(state, batch, jax.random.fold_in(key, i), i)
+        if args.profile and i - start_iter == 25:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            print(f"xprof trace written to {args.profile}")
         num_imgs = i * trainer.batch_size
 
         for k, v in metrics.items():
