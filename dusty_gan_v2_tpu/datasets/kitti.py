@@ -13,6 +13,7 @@ pipeline vectorized for TPU feeding:
 
 from __future__ import annotations
 
+import collections
 import os
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -338,3 +339,32 @@ class Prefetcher:
                 yield item
         finally:
             stop.set()
+
+
+class DevicePrefetcher:
+    """Keep `depth` batches already uploaded to the device(s) ahead of the consumer.
+
+    jax transfers are asynchronous — `put_fn` (e.g. parallel.global_batch or a
+    sharded device_put) returns immediately while the copy proceeds in the
+    background, so staying `depth` batches ahead overlaps host->device uploads
+    with the running train step (the reference relies on torch DataLoader
+    pin_memory + .cuda(non_blocking) for the same effect)."""
+
+    def __init__(self, host_iter, put_fn, depth: int = 2):
+        self._it = iter(host_iter)
+        self._put = put_fn
+        self._depth = max(1, int(depth))
+        self._buf = collections.deque()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        while len(self._buf) < self._depth:
+            try:
+                self._buf.append(self._put(next(self._it)))
+            except StopIteration:
+                break
+        if not self._buf:
+            raise StopIteration
+        return self._buf.popleft()

@@ -227,3 +227,24 @@ class TestNativeLoader:
         t_numpy = time.perf_counter() - t0
         print(f"native {t_native:.4f}s vs numpy {t_numpy:.4f}s")
         assert t_native < t_numpy * 2.0  # sanity; usually much faster
+
+
+class TestDevicePrefetcher:
+    def test_keeps_depth_ahead_and_drains(self):
+        from dusty_gan_v2_tpu.datasets.kitti import DevicePrefetcher
+
+        uploaded = []
+
+        def put(x):
+            uploaded.append(x)
+            return x * 10
+
+        it = DevicePrefetcher(iter(range(5)), put, depth=2)
+        first = next(it)
+        assert first == 0
+        assert uploaded == [0, 1]  # depth=2 staged before first yield
+        assert list(it) == [10, 20, 30, 40]
+        import pytest
+
+        with pytest.raises(StopIteration):
+            next(it)

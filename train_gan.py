@@ -20,7 +20,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dusty_gan_v2_tpu.datasets.kitti import InfiniteSampler, KITTIRaw, Prefetcher
+from dusty_gan_v2_tpu.datasets.kitti import (
+    DevicePrefetcher,
+    InfiniteSampler,
+    KITTIRaw,
+    Prefetcher,
+)
 from dusty_gan_v2_tpu.geometry import make_Rt
 from dusty_gan_v2_tpu.metrics import (
     compute_frechet_distance,
@@ -251,12 +256,19 @@ def main():
         log_images(writer, "real", 1, coord=coord, image=reals0["image"],
                    raydrop_mask=reals0["raydrop_mask"])
 
+    # keep 2 batches uploaded ahead of the device: the async device_put overlaps
+    # host->device transfer with the running step (important on tunneled TPUs)
+    def _upload(host_batch):
+        raw = {k: v for k, v in host_batch.items() if k in ("depth", "mask")}
+        return raw, global_batch(trainer.mesh, raw)
+
+    dev_loader = DevicePrefetcher(loader, _upload, depth=2)
+
     t_start = time.time()
     for i in range(start_iter + 1, total_iters + 1):
         if args.profile and i - start_iter == 20:
             jax.profiler.start_trace(args.profile)
-        raw = {k: v for k, v in next(loader).items() if k in ("depth", "mask")}
-        batch = global_batch(trainer.mesh, raw)
+        raw, batch = next(dev_loader)
         state, metrics = trainer.step(state, batch, jax.random.fold_in(key, i), i)
         if args.profile and i - start_iter == 25:
             jax.block_until_ready(metrics)
