@@ -1,8 +1,11 @@
 """Decompose the training-step wall-clock: which component eats the time?
 
-Times each piece of the adv step in isolation at the full 64x512 config
-(B=32, fp32): G fwd, G fwd+bwd, D fwd, D fwd+bwd, ADA augment, fused G-phase,
-fused D-phase. Used to target kernel/fusion work (BASELINE.md notes).
+Each part runs REPS times inside one jitted lax.fori_loop (serialized via a data
+dependence) and the result is fetched to host — the only reliable timing pattern
+on the tunneled-TPU setup, where per-dispatch latency is tens of ms and
+block_until_ready under-reports for queued small programs.
+
+    python scripts/bench_step_parts.py [--dtype float32] [--batch 32]
 """
 
 import argparse
@@ -13,6 +16,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
+
+REPS = 10
 
 
 def main():
@@ -30,7 +35,6 @@ def main():
     p.add_argument("--config", default="configs/gans/dusty_v2.yaml")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--dtype", default="float32")
-    p.add_argument("--iters", type=int, default=20)
     args = p.parse_args()
 
     cfg = load_config(args.config)
@@ -50,59 +54,64 @@ def main():
 
     kg = jax.random.PRNGKey(0)
     z = jax.random.normal(kg, (B, cfg.model.generator.mapping_kwargs.in_ch))
-    gv = G.init({"params": kg, "gumbel": jax.random.fold_in(kg, 1)}, z, angle)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        gv = G.init({"params": kg, "gumbel": jax.random.fold_in(kg, 1)},
+                    jnp.zeros((2, z.shape[1])), angle)
+        dv = D.init(kg, jnp.zeros((2, 1, *res)))
+    gv = jax.device_put(gv, jax.devices()[0])
+    dv = jax.device_put(dv, jax.devices()[0])
     x = jax.random.normal(jax.random.fold_in(kg, 2), (B, 1, *res))
-    dv = D.init(kg, x)
 
     def rngs(k):
         ks = jax.random.split(k, 4)
         return {"gumbel": ks[0], "noise": ks[1], "styles": ks[2], "aug": ks[3]}
 
-    def g_fwd(gv, z, k):
-        o, _ = G.apply(gv, z, angle, rngs=rngs(k), train=True, mutable=["stats"])
+    def g_fwd(z, k, train):
+        if train:
+            o, _ = G.apply(gv, z, angle, rngs=rngs(k), train=True, mutable=["stats"])
+        else:
+            o = G.apply(gv, z, angle, rngs=rngs(k))
         return o["image"]
 
-    def g_loss(gv, z, k):
-        img = g_fwd(gv, z, k)
+    def g_loss(z, k):
+        img = g_fwd(z, k, True)
         img = ada(img, jnp.asarray(0.5), jax.random.fold_in(k, 9))
         y = D.apply(dv, img)
         return jnp.mean(jax.nn.softplus(-y))
 
-    def d_loss(dv, x):
-        y = D.apply(dv, x)
-        return jnp.mean(jax.nn.softplus(y))
+    def d_loss(x):
+        return jnp.mean(jax.nn.softplus(D.apply(dv, x)))
+
+    k0 = jax.random.PRNGKey(7)
+
+    def loop(fn):
+        """Run fn REPS times serialized on a scalar carry, return final scalar."""
+
+        def body(i, s):
+            return fn(s, jax.random.fold_in(k0, i))
+
+        return jax.jit(lambda: jax.lax.fori_loop(0, REPS, body, jnp.float32(0)))
 
     parts = {
-        "G fwd": jax.jit(lambda gv, z, k: g_fwd(gv, z, k)),
-        "G fwd+ADA+D fwd (G loss)": jax.jit(g_loss),
-        "G phase bwd (grad wrt G)": jax.jit(jax.grad(g_loss)),
-        "D fwd": jax.jit(lambda dv, x: D.apply(dv, x)),
-        "D fwd+bwd": jax.jit(jax.grad(d_loss)),
-        "ADA augment alone": jax.jit(
-            lambda x, k: ada(x, jnp.asarray(0.5), k)
+        "G fwd (eval)": loop(lambda s, k: jnp.mean(g_fwd(z + s * 0, k, False))),
+        "G fwd (train)": loop(lambda s, k: jnp.mean(g_fwd(z + s * 0, k, True))),
+        "ADA augment": loop(lambda s, k: jnp.mean(ada(x + s * 0, jnp.asarray(0.5), k))),
+        "D fwd": loop(lambda s, k: jnp.mean(D.apply(dv, x + s * 0))),
+        "D fwd+bwd": loop(lambda s, k: jnp.mean(jax.grad(d_loss)(x + s * 0))),
+        "G loss fwd (G+ADA+D)": loop(lambda s, k: g_loss(z + s * 0, k)),
+        "G phase grad (wrt z)": loop(
+            lambda s, k: jnp.mean(jax.grad(lambda zz: g_loss(zz, k))(z + s * 0))
         ),
     }
 
-    def bench(name, fn, *fargs):
-        o = fn(*fargs)
-        jax.block_until_ready(o)
+    for name, f in parts.items():
+        o = f()
+        _ = float(o)  # compile+run, host sync
         t0 = time.perf_counter()
-        outs = []
-        for _ in range(args.iters):
-            outs.append(fn(*fargs))
-        jax.block_until_ready(outs)
-        leaf = jax.tree_util.tree_leaves(outs[-1])[0]
-        _ = np.asarray(leaf.ravel()[0])  # force true sync through host fetch
-        dt = (time.perf_counter() - t0) / args.iters
-        print(f"{name:>28}: {1e3 * dt:8.2f} ms")
-
-    k = jax.random.PRNGKey(7)
-    bench("G fwd", parts["G fwd"], gv, z, k)
-    bench("G fwd+ADA+D fwd (G loss)", parts["G fwd+ADA+D fwd (G loss)"], gv, z, k)
-    bench("G phase bwd (grad wrt G)", parts["G phase bwd (grad wrt G)"], gv, z, k)
-    bench("D fwd", parts["D fwd"], dv, x)
-    bench("D fwd+bwd", parts["D fwd+bwd"], dv, x)
-    bench("ADA augment alone", parts["ADA augment alone"], x, k)
+        _ = float(f())
+        dt = (time.perf_counter() - t0) / REPS
+        print(f"{name:>24}: {1e3 * dt:8.2f} ms")
 
 
 if __name__ == "__main__":

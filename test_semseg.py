@@ -81,7 +81,18 @@ def main():
     args = parser.parse_args()
 
     cfg, params, batch_stats = load_semseg_ckpt(args.ckpt_path)
-    from train_semseg import MODALITY_CH, build_model, evaluate_confusion, make_inputs
+    # import OUR sibling train_semseg by path: a plain name import can resolve to
+    # the reference repo's script when tests put /root/reference on sys.path
+    import importlib.util
+
+    _spec = importlib.util.spec_from_file_location(
+        "_our_train_semseg",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "train_semseg.py"),
+    )
+    _ts = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(_ts)
+    MODALITY_CH, build_model, evaluate_confusion, make_inputs = (
+        _ts.MODALITY_CH, _ts.build_model, _ts.evaluate_confusion, _ts.make_inputs)
 
     model = build_model(cfg)
     num_classes = int(cfg.dataset.num_classes)
