@@ -82,3 +82,38 @@ class TestGlobalBatch:
 
         got = jax.jit(lambda b: jnp.sum(b["x"] ** 2))(out)
         np.testing.assert_allclose(float(got), (raw["x"] ** 2).sum(), rtol=1e-6)
+
+
+class TestTwoProcessCluster:
+    def test_jax_distributed_psum_across_processes(self, tmp_path):
+        """Real multi-process integration: 2 local processes x 2 virtual CPU devices
+        form one jax.distributed cluster; parallel.global_batch assembles a global
+        array from per-process halves and a shard_map psum reduces across BOTH
+        processes (the reference's NCCL all-reduce, gans/utils.py:33-42)."""
+        import socket
+        import subprocess
+        import sys as _sys
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+
+        worker = str(
+            __import__("pathlib").Path(__file__).parent / "distributed_worker.py"
+        )
+        env = dict(__import__("os").environ)
+        env.pop("XLA_FLAGS", None)  # worker sets its own device count
+        procs = [
+            subprocess.Popen(
+                [_sys.executable, worker, str(i), "2", str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=280)
+            outs.append(out)
+            assert p.returncode == 0, out[-2000:]
+        for i, out in enumerate(outs):
+            assert f"RESULT proc={i} total=26.0" in out, out[-2000:]
