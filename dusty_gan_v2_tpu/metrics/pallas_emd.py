@@ -45,7 +45,7 @@ def _build_kernel(n: int, m: int, tm: int, num_levels: int):
     n_chunks = m // tm
 
     def kernel(xyz1_ref, xyz2_ref, cost_ref,
-               D_ref, K_ref, remainL, remainR, ratioL, x2_ref, y2_ref, acc_n):
+               S_ref, K_ref, remainL, remainR, ratioL, x2_ref, y2_ref, acc_n):
         x1 = xyz1_ref[0]  # (n, 3)
         x2_ref[:] = jnp.sum(jnp.square(x1), axis=1, keepdims=True).T  # (1, n)
         remainL[:] = jnp.full((1, n), float(1.0 if n >= m else m // n), jnp.float32)
@@ -61,7 +61,9 @@ def _build_kernel(n: int, m: int, tm: int, num_levels: int):
             xy += x1[:, 1][:, None] * y_blk[:, 1][None, :]
             xy += x1[:, 2][:, None] * y_blk[:, 2][None, :]
             d = x2_ref[0, :][:, None] + y2_ref[ci][0][None, :] - 2.0 * xy
-            D_ref[ci] = jnp.maximum(d, 0.0)
+            # store sqrt(D): the cost pass needs sqrt every level while exp can use
+            # level2*(s*s) for one extra multiply — saves a sqrt per element-level
+            S_ref[ci] = jnp.sqrt(jnp.maximum(d, 0.0))
 
         def level_body(li, cost):
             # level = -4^(7 - li); exp(level*d) computed as exp2(level2*d)
@@ -70,7 +72,8 @@ def _build_kernel(n: int, m: int, tm: int, num_levels: int):
 
             # pass A: build K for this level (once), accumulate denomL -> ratioL
             def pass_a(ci, _):
-                k = jnp.exp2(level2 * D_ref[ci])  # the only exp of the level
+                sq = S_ref[ci]
+                k = jnp.exp2(level2 * (sq * sq))  # the only exp of the level
                 K_ref[ci] = k
                 r = remainR[ci]  # (1, tm)
                 acc_n[:] = acc_n[:] + jnp.sum(k * r, axis=1)[None, :]
@@ -96,7 +99,7 @@ def _build_kernel(n: int, m: int, tm: int, num_levels: int):
                 #   cost  += sum(ratioL^T (k . sqrt(D)) rr)   (2-D reduction)
                 #   acc_n += row sums of k . rr               (w = that . ratioL)
                 krs = k * rr  # broadcast over rows
-                cost = cost + jnp.sum((krs * jnp.sqrt(D_ref[ci])) * ratioL[:].T)
+                cost = cost + jnp.sum((krs * S_ref[ci]) * ratioL[:].T)
                 acc_n[:] = acc_n[:] + jnp.sum(krs, axis=1)[None, :]
                 return cost
 
@@ -140,7 +143,7 @@ def _build_call(B: int, n: int, m: int, tm: int, interpret: bool):
             out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(vmem_bytes)),
             scratch_shapes=[
-                pltpu.VMEM((n_chunks, n, tm), jnp.float32),  # D, chunk-major
+                pltpu.VMEM((n_chunks, n, tm), jnp.float32),  # sqrt(D), chunk-major
                 pltpu.VMEM((n_chunks, n, tm), jnp.float32),  # K, chunk-major
                 pltpu.VMEM((1, n), jnp.float32),  # remainL
                 pltpu.VMEM((n_chunks, 1, tm), jnp.float32),  # remainR, chunk-major
