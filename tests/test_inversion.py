@@ -216,3 +216,40 @@ class TestCheckpointRoundtrip:
         np.testing.assert_allclose(
             np.asarray(got["image_orig"]), want["image_orig"].numpy(), atol=1e-4
         )
+
+
+class TestOrbaxCheckpoint:
+    def test_roundtrip_and_dispatch(self, tmp_path):
+        """Orbax directory checkpoints: cooperative sharded save + restore through
+        both load_checkpoint_orbax and the format-dispatching load_checkpoint."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_trainer import RES, make_angle, tiny_cfg
+
+        from dusty_gan_v2_tpu.parallel import make_mesh
+        from dusty_gan_v2_tpu.training import Trainer
+        from dusty_gan_v2_tpu.training.checkpoint import (
+            load_checkpoint,
+            save_checkpoint_orbax,
+            wait_for_checkpoints,
+        )
+
+        mesh = make_mesh(jax.devices()[:1])
+        cfg = tiny_cfg()
+        cfg.training.batch_size = 4
+        t = Trainer(cfg, mesh=mesh, angle=make_angle(RES))
+        state = t.init_state(jax.random.PRNGKey(0))
+
+        path = str(tmp_path / "ckpt_orbax")
+        save_checkpoint_orbax(path, cfg, state, t.angle, num_imgs=123,
+                              use_async=True)
+        wait_for_checkpoints()
+
+        cfg2, state2, angle2, num_imgs = load_checkpoint(path, state)
+        assert num_imgs == 123
+        assert cfg2.training.batch_size == 4
+        np.testing.assert_array_equal(np.asarray(angle2), np.asarray(t.angle))
+        for a, b in zip(jax.tree_util.tree_leaves(state.params_G),
+                        jax.tree_util.tree_leaves(state2.params_G)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

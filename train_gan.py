@@ -158,6 +158,9 @@ def main():
                         help="path to cls_model_39.pth for FPD validation")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="capture an xprof trace of steps 20-25 into DIR")
+    parser.add_argument("--ckpt_backend", default="msgpack",
+                        choices=["msgpack", "orbax"],
+                        help="orbax = multi-host sharded async checkpoint dirs")
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host: jax.distributed.initialize before training "
                              "(params auto-detected; see --coordinator etc.)")
@@ -320,9 +323,20 @@ def main():
             for k, v in scores.items():
                 writer.add_scalar("score/" + k, v, num_imgs)
 
-        if is_chief and (i % int(ckpt_cfg.save_model) == 0 or i == total_iters):
+        if i % int(ckpt_cfg.save_model) == 0 or i == total_iters:
             path = log_dir / "models" / f"checkpoint_{num_imgs:010d}.ckpt"
-            save_checkpoint(str(path), cfg, state, trainer.angle, num_imgs)
+            if args.ckpt_backend == "orbax":
+                # all processes participate (each writes its own shards)
+                from dusty_gan_v2_tpu.training.checkpoint import save_checkpoint_orbax
+
+                save_checkpoint_orbax(str(path), cfg, state, trainer.angle, num_imgs)
+            elif is_chief:
+                save_checkpoint(str(path), cfg, state, trainer.angle, num_imgs)
+
+    if args.ckpt_backend == "orbax":
+        from dusty_gan_v2_tpu.training.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()
 
 
 if __name__ == "__main__":
