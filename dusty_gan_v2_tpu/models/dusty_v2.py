@@ -283,6 +283,8 @@ class SynthesisNetwork(nn.Module):
     aug_coords_blitting: bool = False
     output_scale: float = 0.25
     compute_dtype: str = "float32"  # "bfloat16" enables the mixed-precision path
+    remat: bool = False  # rematerialize each block's activations (trade FLOPs for HBM;
+    # enables large-batch training, cf. the B=128 full-step HBM ceiling in BASELINE.md)
 
     @property
     def num_blocks(self) -> int:
@@ -346,9 +348,16 @@ class SynthesisNetwork(nn.Module):
         dtypes = self.block_dtypes()
         res_i = np.array([H, W]) // int(np.prod(self.layers))
         h, skip, wi = None, None, 0
+        # __call__(self, h, skip, ws, angle, train, fixed_noise, azim_shift):
+        # `train` (positional 5) is a python bool -> static under remat
+        blk_cls = (
+            nn.checkpoint(SynthesisBlock, static_argnums=(5,))
+            if self.remat
+            else SynthesisBlock
+        )
         for i, s in enumerate(scales):
             res_i = res_i * s
-            blk = SynthesisBlock(
+            blk = blk_cls(
                 in_ch=ch(i - 1) if i != 0 else 0,
                 mid_ch=ch(i),
                 out_ch=tuple(self.out_ch),
@@ -366,9 +375,9 @@ class SynthesisNetwork(nn.Module):
             fn = None if fixed_noise is None else fixed_noise[i]
             h, skip = blk(
                 h, skip, (ws[:, wi], ws[:, wi + 1], ws[:, wi + 2]), pyramid[i],
-                train=train, fixed_noise=fn, azim_shift=azim_shift,
+                train, fn, azim_shift,
             )
-            wi += blk.num_conv
+            wi += 1 if i == 0 else 2  # blk.num_conv (wrapped class hides properties)
 
         if do_aug:
             # cancel the angular shift in image space: translate by +shift/(2pi)*W px
@@ -477,6 +486,7 @@ class Discriminator(nn.Module):
     num_fp16_layers: int = -1
     pre_blur: bool = True
     compute_dtype: str = "float32"
+    remat: bool = False  # rematerialize residual blocks (large-batch HBM relief)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -508,8 +518,9 @@ class Discriminator(nn.Module):
         i += 1
         h = FusedLeakyReLU(ch(0), name="stem_act")(h.astype(layer_dtype(i)))
         i += 1
+        rb_cls = nn.checkpoint(ResidualBlock) if self.remat else ResidualBlock
         for j in range(n_down):
-            h = ResidualBlock(ch(j), ch(j + 1), self.ring, name=f"res{j}")(
+            h = rb_cls(ch(j), ch(j + 1), self.ring, name=f"res{j}")(
                 h.astype(layer_dtype(i))
             )
             i += 1

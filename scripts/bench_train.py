@@ -40,12 +40,17 @@ def main():
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--profile", default=None,
                         help="capture an xprof trace of a few steps into this dir")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize G blocks / D resblocks (HBM relief)")
     args = parser.parse_args()
 
     cfg = load_config(args.config)
     cfg.training.batch_size = args.batch
     cfg.model.generator.compute_dtype = args.dtype
     cfg.model.discriminator.layer_kwargs.compute_dtype = args.dtype
+    if args.remat:
+        cfg.model.generator.synthesis_kwargs.remat = True
+        cfg.model.discriminator.layer_kwargs.remat = True
 
     mesh = make_mesh(jax.devices()[:1])
     t = Trainer(cfg, mesh=mesh)

@@ -315,3 +315,61 @@ class TestAzimShiftIdentity:
             mutable=["stats"],
         )
         assert np.isfinite(np.asarray(o["image"])).all()
+
+
+class TestRemat:
+    def test_forward_and_grad_match_non_remat(self):
+        """nn.checkpoint'd blocks must be numerically identical (fwd + grad)."""
+        import copy
+
+        from dusty_gan_v2_tpu.models import build_discriminator, build_generator
+
+        res = (8, 64)
+        gcfg = {
+            "arch": "dusty_v2",
+            "mapping_kwargs": {"in_ch": 16, "out_ch": 16, "depth": 2},
+            "synthesis_kwargs": {
+                "in_ch": 16,
+                "out_ch": ({"name": "image", "ch": 1, "act": "tanh"},
+                           {"name": "raydrop_logit", "ch": 1, "act": None}),
+                "ch_base": 4, "ch_max": 16, "resolution": res, "layers": (2, 2),
+                "ring": True, "use_noise": False, "aug_coords": True,
+            },
+            "measurement_kwargs": {"raydrop_const": -1, "gumbel_temperature": 1},
+        }
+        gcfg_r = copy.deepcopy(gcfg)
+        gcfg_r["synthesis_kwargs"]["remat"] = True
+        G0, G1 = build_generator(gcfg), build_generator(gcfg_r)
+
+        elev = np.linspace(0.05, -0.41, res[0], dtype=np.float32)
+        azim = np.linspace(np.pi, -np.pi, res[1], endpoint=False, dtype=np.float32)
+        angle = jnp.asarray(np.stack(np.meshgrid(elev, azim, indexing="ij"), 0)[None])
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, 16))
+        gn = jnp.zeros((2, 1, *res))
+        v = G0.init({"params": jax.random.PRNGKey(0),
+                     "gumbel": jax.random.PRNGKey(1)}, z, angle)
+
+        def loss(G, vv):
+            k = jax.random.PRNGKey(3)
+            o, _ = G.apply(vv, z, angle, train=True, gumbel_noise=gn,
+                           rngs={"gumbel": k, "noise": k, "styles": k, "aug": k},
+                           mutable=["stats"])
+            return jnp.sum(o["image"] ** 2)
+
+        g0 = jax.grad(lambda vv: loss(G0, vv))(v)
+        g1 = jax.grad(lambda vv: loss(G1, vv))(v)
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+        dcfg = {"arch": "dusty_v2", "layer_kwargs": {
+            "in_ch": 1, "ring": True, "ch_base": 4, "ch_max": 16,
+            "resolution": res, "mbdis_group": 2, "mbdis_feat": 1, "pre_blur": True,
+        }}
+        dcfg_r = copy.deepcopy(dcfg)
+        dcfg_r["layer_kwargs"]["remat"] = True
+        D0, D1 = build_discriminator(dcfg), build_discriminator(dcfg_r)
+        x = jax.random.normal(jax.random.PRNGKey(5), (2, 1, *res))
+        dv = D0.init(jax.random.PRNGKey(0), x)
+        d0 = jax.grad(lambda xx: jnp.sum(D0.apply(dv, xx) ** 2))(x)
+        d1 = jax.grad(lambda xx: jnp.sum(D1.apply(dv, xx) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-5)
