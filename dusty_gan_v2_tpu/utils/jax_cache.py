@@ -22,6 +22,11 @@ def enable_persistent_cache():
     try:
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        # Cache EVERYTHING: under the axon remote-compile service even a trivial
+        # eager op (sin/transpose/...) costs ~0.5-1 s of round-trip compile, and the
+        # default 1 s threshold keeps them uncached — dozens of such ops made every
+        # process start pay ~2 min. Tiny entries are a few KB.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
