@@ -182,6 +182,7 @@ class KITTIRaw:
         max_depth: float = 120.0,
         flip: bool = False,
         scan_unfolding: bool = True,
+        prune_missing: bool = False,
     ):
         assert split in ("train", "val", "test")
         self.root = Path(root)
@@ -210,6 +211,11 @@ class KITTIRaw:
                         continue
                     d = self.root / name[:10] / name / "velodyne_points" / "data"
                     self.datalist += [str(p) for p in sorted(d.glob("*.bin"))]
+
+        if prune_missing:
+            # partial-download trees (and tiny CI fixtures): keep only frames that
+            # exist on disk instead of crashing at first read
+            self.datalist = [p for p in self.datalist if os.path.exists(p)]
 
     def __len__(self):
         return len(self.datalist)

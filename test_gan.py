@@ -137,7 +137,8 @@ def main():
     def collect_real(split):
         root = args.dataset_root or cfg.dataset.root
         ds = KITTIRaw(root=root, split=split, shape=(H, W),
-                      min_depth=cfg.dataset.min_depth, max_depth=cfg.dataset.max_depth)
+                      min_depth=cfg.dataset.min_depth, max_depth=cfg.dataset.max_depth,
+                      prune_missing=bool(cfg.dataset.get("prune_missing", False)))
         imgs, pts, feats = [], [], []
         for batch in Prefetcher(ds, args.batch_size, num_workers=4):
             depth = jnp.asarray(batch["depth"])

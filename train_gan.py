@@ -208,6 +208,8 @@ def main():
     dataset = KITTIRaw(
         root=cfg.dataset.root, split="train", shape=trainer.resolution,
         min_depth=cfg.dataset.min_depth, max_depth=cfg.dataset.max_depth,
+        flip=bool(cfg.dataset.get("flip", False)),
+        prune_missing=bool(cfg.dataset.get("prune_missing", False)),
     )
     # rank-sharded infinite sampler (reference gans/utils.py:238-271 + trainer.py:104):
     # every host draws an interleaved slice of the same shuffled stream and loads
@@ -302,7 +304,7 @@ def main():
                 sbs, local8, jax.random.fold_in(key, 2 * i + 1), i
             )
             log_images(writer, "real", num_imgs, image_aug=reals_aug)
-            fakes = trainer.sample(sbs, z_fixed, jax.random.fold_in(key, -i), ema=True)
+            fakes = trainer.sample(sbs, z_fixed, jax.random.fold_in(key, 2 * i), ema=True)
             log_images(
                 writer, "fake", num_imgs, coord=coord,
                 image=fakes.get("image"), image_orig=fakes.get("image_orig"),
