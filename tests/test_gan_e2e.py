@@ -166,3 +166,39 @@ def test_train_then_eval(kitti_root, tmp_path, monkeypatch, capsys):
     assert any("1-nn" in k and k.endswith("-cd") for k in scores), scores
     for v in scores.values():
         assert np.isfinite(v), scores
+
+
+def test_inversion_cli_on_fixture(kitti_root, tmp_path, monkeypatch):
+    """demo_inversion's two-stage loop (GAN inversion + pivotal tuning) against a
+    real KITTI-layout frame, few steps — the path that produces semseg drop maps
+    (reference demo_inversion.py:30-268)."""
+    # train a throwaway checkpoint quickly? reuse an init-state checkpoint instead
+    sys.path.insert(0, os.path.join(_REPO, "tests"))
+    from test_trainer import make_angle, tiny_cfg
+
+    import jax
+
+    from dusty_gan_v2_tpu.parallel import make_mesh
+    from dusty_gan_v2_tpu.training import Trainer
+    from dusty_gan_v2_tpu.training.checkpoint import save_checkpoint
+
+    cfg = tiny_cfg()
+    cfg.training.batch_size = 4
+    cfg.validation = {"batch_size": 4, "num_points": 64}
+    cfg.dataset.root = str(kitti_root)
+    t = Trainer(cfg, mesh=make_mesh(jax.devices()[:1]), angle=make_angle(RES))
+    state = t.init_state(jax.random.PRNGKey(0))
+    ckpt_path = str(tmp_path / "inv.ckpt")
+    save_checkpoint(ckpt_path, cfg, state, t.angle, num_imgs=0)
+
+    inv_mod = load_cli("demo_inversion")
+    out_dir = tmp_path / "inv_out"
+    monkeypatch.setattr(sys, "argv", [
+        "demo_inversion.py", "--ckpt_path", ckpt_path,
+        "--dataset_root", str(kitti_root), "--sample_id", "0",
+        "--latent_type", "w", "--num_steps_1st", "3", "--num_steps_2nd", "2",
+        "--out_dir", str(out_dir),
+    ])
+    inv_mod.main()
+    outs = list(out_dir.glob("*"))
+    assert outs, "demo_inversion produced no outputs"
