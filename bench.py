@@ -66,19 +66,14 @@ def main():
     G = build_generator(cfg)
     angle = _angle(res)
     z0 = jax.random.normal(jax.random.PRNGKey(0), (B, 512))
-    # init on CPU (fast host trace), then ship params to the accelerator
-    try:
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            variables = G.init(
-                {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
-                jax.numpy.zeros((2, 512)), angle,
-            )
-        variables = jax.device_put(variables, jax.devices()[0])
-    except Exception:
-        variables = G.init(
-            {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)}, z0, angle
-        )
+    # init at batch 2 directly on the accelerator: the compile is persistent-cached,
+    # and CPU-device compiles must be avoided entirely — under the axon tunnel they
+    # are compiled on the REMOTE host's CPU, and caching such AOT blobs can SIGILL
+    # on this machine (see utils/jax_cache.py)
+    variables = G.init(
+        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+        jax.numpy.zeros((2, 512)), angle,
+    )
 
     @jax.jit
     def sample(variables, z, noise):

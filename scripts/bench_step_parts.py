@@ -54,13 +54,11 @@ def main():
 
     kg = jax.random.PRNGKey(0)
     z = jax.random.normal(kg, (B, cfg.model.generator.mapping_kwargs.in_ch))
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        gv = G.init({"params": kg, "gumbel": jax.random.fold_in(kg, 1)},
-                    jnp.zeros((2, z.shape[1])), angle)
-        dv = D.init(kg, jnp.zeros((2, 1, *res)))
-    gv = jax.device_put(gv, jax.devices()[0])
-    dv = jax.device_put(dv, jax.devices()[0])
+    # init on the accelerator (compiles are persistent-cached; CPU-device compiles
+    # are avoided — the remote compile helper produces host-mismatched CPU AOT blobs)
+    gv = G.init({"params": kg, "gumbel": jax.random.fold_in(kg, 1)},
+                jnp.zeros((2, z.shape[1])), angle)
+    dv = D.init(kg, jnp.zeros((2, 1, *res)))
     x = jax.random.normal(jax.random.fold_in(kg, 2), (B, 1, *res))
 
     def rngs(k):
