@@ -331,10 +331,15 @@ class Trainer:
                     gv, z, angle, train=True, rngs=g_rngs(keys[11]), mutable=["stats"]
                 )
                 x_fake = jax.lax.stop_gradient(o["image"])
-                xr = wu(x_real, keys[12], dropout_ratio, blur_kernel)
-                xf = wu(x_fake, keys[13], dropout_ratio, blur_kernel)
-                xr = jax.lax.stop_gradient(ada(xr, state.ada.p, keys[14]))
-                xf = jax.lax.stop_gradient(ada(xf, state.ada.p, keys[15]))
+                # warmup + ADA are strictly per-sample: run reals and fakes as ONE
+                # concatenated batch (halves the fixed cost of the aug pipeline; the
+                # reference augments them separately, trainer.py:383-396, which is
+                # distributionally identical). D stays separate — minibatch-stddev
+                # statistics must not mix reals with fakes.
+                xcat = jnp.concatenate([x_real, x_fake], axis=0)
+                xcat = wu(xcat, keys[12], dropout_ratio, blur_kernel)
+                xcat = jax.lax.stop_gradient(ada(xcat, state.ada.p, keys[14]))
+                xr, xf = xcat[:B], xcat[B:]
                 y_real = D.apply({"params": params_D}, xr, train=True)
                 y_fake = D.apply({"params": params_D}, xf, train=True)
                 loss = w_gan * gan_loss_d(y_real, y_fake, metric)

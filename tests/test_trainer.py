@@ -237,3 +237,49 @@ class TestGlobalBatchStep:
         state2, metrics = t.step(fresh(state), batch, jax.random.PRNGKey(2), 3)
         for k, v in metrics.items():
             assert np.isfinite(float(v)), (k, v)
+
+
+class TestOtherArchsTrain:
+    """vanilla / dusty_v1 must run the full SPMD step too (only their forwards are
+    parity-tested elsewhere; PL falls back to grad-wrt-z for single-style archs)."""
+
+    RES_V = (32, 64)  # vanilla projects to H/16 (reflect pad needs H/16 >= 2)
+
+    def _cfg(self, g_arch, d_arch):
+        cfg = tiny_cfg()
+        cfg.training.lazy = Config({"gp": 1, "pl": 1, "ada": 1})
+        cfg.model.generator = Config({
+            "arch": g_arch,
+            "mapping_kwargs": {"in_ch": 16, "out_ch": 16},
+            "synthesis_kwargs": {
+                "in_ch": 16,
+                "out_ch": [
+                    {"name": "image", "ch": 1, "act": None},
+                    {"name": "raydrop_logit", "ch": 1, "act": None},
+                ],
+                "ch_base": 4, "ch_max": 16, "resolution": list(self.RES_V),
+                "ring": True,
+            },
+            "measurement_kwargs": {"raydrop_const": -1, "gumbel_temperature": 1},
+        })
+        if g_arch == "vanilla":
+            # vanilla G has no measurement model / raydrop head wiring
+            cfg.model.generator.measurement_kwargs = Config(
+                {"raydrop_const": -1, "gumbel_temperature": 1})
+        cfg.model.discriminator = Config({
+            "arch": d_arch,
+            "layer_kwargs": {"in_ch": 1, "ring": True, "ch_base": 4, "ch_max": 16,
+                             "resolution": list(self.RES_V)},
+        })
+        return cfg
+
+    @pytest.mark.parametrize("g_arch", ["vanilla", "dusty_v1"])
+    def test_one_full_step(self, g_arch):
+        cfg = self._cfg(g_arch, "vanilla")
+        mesh = make_mesh(jax.devices()[:2])
+        t = Trainer(cfg, mesh=mesh, angle=make_angle(self.RES_V))
+        state = t.init_state(jax.random.PRNGKey(0))
+        batch = synth_batch(np.random.RandomState(2), t.batch_size, self.RES_V)
+        state, metrics = t.step(state, batch, jax.random.PRNGKey(1), 1)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (g_arch, k, v)
