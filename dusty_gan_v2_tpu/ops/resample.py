@@ -226,7 +226,20 @@ def resample(x: jnp.ndarray, plan: ResamplePlan, method: str = "auto") -> jnp.nd
 
 @functools.lru_cache(maxsize=None)
 def _resample_matrices(plan: ResamplePlan, H: int, W: int):
-    """Dense (H_out,H) / (W_out,W) operators equal to the conv path on bases."""
+    """Dense (H_out,H) / (W_out,W) operators equal to the conv path on bases.
+
+    Runs eagerly even when first reached inside a jit trace
+    (jax.ensure_compile_time_eval): the basis probes are shape-only constants.
+    """
+    import numpy as _np
+
+    import jax as _jax
+
+    with _jax.ensure_compile_time_eval():
+        return _resample_matrices_impl(plan, H, W)
+
+
+def _resample_matrices_impl(plan: ResamplePlan, H: int, W: int):
     import numpy as _np
 
     def conv_path(x):
