@@ -119,3 +119,23 @@ class TestTestGanGeneration:
         )
         test_gan.main()
         assert json.load(open(out)) == {}
+
+
+class TestDemoInterpolation3D:
+    def test_3d_npz_frames(self, tiny_ckpt, tmp_path, monkeypatch):
+        demo_interpolation = load_cli("demo_interpolation")
+
+        out = str(tmp_path / "interp3d.npz")
+        monkeypatch.setattr(
+            sys, "argv",
+            ["demo_interpolation.py", "--ckpt_path", tiny_ckpt, "--mode", "3d",
+             "--num_anchors", "2", "--frames_per_anchor", "2", "--out", out],
+        )
+        demo_interpolation.main()
+        import os
+
+        import numpy as np
+
+        assert os.path.exists(out)
+        frames = np.load(out)
+        assert len(frames.files) > 0

@@ -135,7 +135,7 @@ def test_train_then_eval(fixture_root, tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(sys, "argv", [
         "test_semseg.py", "--ckpt_path", str(ckpts[-1]),
         "--dataset_root", str(fixture_root),
-        "--batch_size", "4", "--out", str(out_json),
+        "--batch_size", "4", "--knn", "--out", str(out_json),
     ])
     test_mod.main()
 
