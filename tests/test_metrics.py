@@ -346,3 +346,26 @@ class TestPallasEMD:
         ref = earth_mover_distance(x, y)
         got = emd_pallas(x, y, tm=128, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4)
+
+
+class TestPallasFPS:
+    def test_matches_xla_exactly_in_interpret_mode(self):
+        from dusty_gan_v2_tpu.metrics.fps import furthest_point_sampling
+        from dusty_gan_v2_tpu.metrics.pallas_fps import fps_pallas
+
+        xyz = jnp.asarray(RNG.randn(4, 256, 3).astype(np.float32))
+        ref = np.asarray(furthest_point_sampling(xyz, 64))
+        got = np.asarray(fps_pallas(xyz, 64, interpret=True))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_duplicate_points_ties(self):
+        """Tie-breaking (lowest index) must match jnp.argmax semantics."""
+        from dusty_gan_v2_tpu.metrics.fps import furthest_point_sampling
+        from dusty_gan_v2_tpu.metrics.pallas_fps import fps_pallas
+
+        base = RNG.randn(1, 128, 3).astype(np.float32)
+        base[0, 64:] = base[0, :64]  # exact duplicates -> distance ties
+        xyz = jnp.asarray(base)
+        ref = np.asarray(furthest_point_sampling(xyz, 32))
+        got = np.asarray(fps_pallas(xyz, 32, interpret=True))
+        np.testing.assert_array_equal(got, ref)
