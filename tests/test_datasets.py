@@ -248,3 +248,19 @@ class TestDevicePrefetcher:
 
         with pytest.raises(StopIteration):
             next(it)
+
+
+class TestPruneMissing:
+    def test_train_split_prunes_to_existing_files(self, tmp_path):
+        seq = "2011_10_03_drive_0027_sync"  # odometry seq 0 (train split)
+        d = tmp_path / seq[:10] / seq / "velodyne_points" / "data"
+        d.mkdir(parents=True)
+        for i in range(3):
+            synthetic_scan(H=8, W=32).tofile(d / f"{i:010d}.bin")
+        full = KITTIRaw(root=str(tmp_path), split="train", shape=(8, 32),
+                        min_depth=1.45, max_depth=80.0)
+        pruned = KITTIRaw(root=str(tmp_path), split="train", shape=(8, 32),
+                          min_depth=1.45, max_depth=80.0, prune_missing=True)
+        assert len(full) > len(pruned) == 3
+        item = pruned[0]
+        assert item["depth"].shape == (1, 8, 32)
