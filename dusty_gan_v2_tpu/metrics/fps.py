@@ -39,5 +39,23 @@ def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def downsample_point_clouds(xyz: jnp.ndarray, k: int) -> jnp.ndarray:
-    """FPS-downsample (B,N,3) -> (B,k,3) (reference furthest_point_sampling.py:85-94)."""
+    """FPS-downsample (B,N,3) -> (B,k,3) (reference furthest_point_sampling.py:85-94).
+
+    On TPU, dispatches to the batched Pallas kernel (pallas_fps.py) when its VMEM
+    budget fits: the whole (B,N) min-distance state stays resident across the k
+    selection steps, measured 6.8x over the lax.scan (0.56 vs 3.81 ms/cloud at
+    B=64, N=32768, k=2048 on v5e — scripts/bench_fps.py). Index parity with the
+    scan is exact up to floating-point ties (equidistant points may be picked in
+    either order; the selected index *set* is identical).
+    """
+    B, N, _ = xyz.shape
+    try:
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        from .pallas_fps import fps_pallas, fps_pallas_available
+
+        if fps_pallas_available(B, N, k):
+            return gather_points(xyz, fps_pallas(xyz, k))
     return gather_points(xyz, furthest_point_sampling(xyz, k))
