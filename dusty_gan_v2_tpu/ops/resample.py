@@ -266,6 +266,12 @@ def _resample_matrices_impl(plan: ResamplePlan, H: int, W: int):
 
 
 def _resample_matmul(x: jnp.ndarray, plan: ResamplePlan) -> jnp.ndarray:
+    # NOTE (negative result, measured on v5e bf16 B=128): fusing the separable pair
+    # into ONE matmul over the flattened spatial dim — (B,C,H*W) @ kron(Hmat,Wmat)^T,
+    # compact lane tiles by construction — was tried to dodge the small-spatial tile
+    # padding tax and LOST at every gated size (4x32: 1.90 vs 1.48 ms; 8x64: 2.14 vs
+    # 1.88 ms; scripts history /tmp/resample_micro pattern). The separable einsum pair
+    # below is the best known formulation at all scales (conv path is 2-4x slower).
     B, C, H, W = x.shape
     Hmat, Wmat = _resample_matrices(plan, H, W)
     dtype = x.dtype
