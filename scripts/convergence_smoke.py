@@ -64,7 +64,7 @@ def frechet(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def run(steps: int, out_csv, res=(16, 64), batch=8, seed=0, log_every=10,
-        n_eval=128):
+        n_eval=128, dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -121,6 +121,9 @@ def run(steps: int, out_csv, res=(16, 64), batch=8, seed=0, log_every=10,
             },
         }
     )
+
+    cfg.model.generator.compute_dtype = dtype
+    cfg.model.discriminator.layer_kwargs.compute_dtype = dtype
 
     elev = np.linspace(0.05, -0.41, res[0], dtype=np.float32)
     azim = np.linspace(np.pi, -np.pi, res[1], endpoint=False, dtype=np.float32)
@@ -181,8 +184,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=500)
     p.add_argument("--out", default="artifacts/convergence.csv")
+    p.add_argument("--dtype", default="float32",
+                   help="compute dtype policy for G and D (bfloat16 validates the "
+                        "mixed-precision training recipe; see BASELINE.md)")
     args = p.parse_args()
-    fd_init, fd_final = run(args.steps, args.out)
+    fd_init, fd_final = run(args.steps, args.out, dtype=args.dtype)
     if not fd_final < 0.5 * fd_init:
         print("FAIL: generated distribution did not move toward the data")
         sys.exit(1)
