@@ -49,6 +49,8 @@ def _compiled_flops(jitted, *args) -> float:
 
 
 def main():
+    import argparse
+
     from dusty_gan_v2_tpu.utils.jax_cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -58,8 +60,12 @@ def main():
     from __graft_entry__ import _angle, _full_gen_cfg
     from dusty_gan_v2_tpu.models import build_generator
 
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=128)  # driver runs the default
+    args = p.parse_args()
+
     res = (64, 512)
-    B = 128
+    B = args.batch
     cfg = _full_gen_cfg(resolution=res)
     cfg["compute_dtype"] = "bfloat16"  # params fp32; per-block bf16 compute (f32 parity
     # is covered by tests/test_parity.py at compute_dtype=float32)

@@ -48,15 +48,21 @@ def main():
     key = jax.random.PRNGKey(0)
 
     def make_params():
+        # weights are (O, I) with per-sample (B, I) styles, modulated on the fly —
+        # matching the real ModConv2d HBM traffic (a (B,O,I) tensor in HBM would be
+        # ~134 MB at block 0 and would dominate the measurement)
         ps = []
         for i, (mid, (H, W)) in enumerate(zip(chs, ress)):
             cin = (chs[i - 1] if i else 0) + PE
             k = jax.random.fold_in(key, i)
             ps.append(
                 dict(
-                    w1=jax.random.normal(k, (B, mid, cin), dtype) * 0.05,
-                    w2=jax.random.normal(k, (B, mid, mid), dtype) * 0.05,
-                    wh=jax.random.normal(k, (B, 2, mid), dtype) * 0.05,
+                    w1=jax.random.normal(k, (mid, cin), dtype) * 0.05,
+                    s1=jax.random.normal(k, (B, cin), dtype) * 0.1,
+                    w2=jax.random.normal(k, (mid, mid), dtype) * 0.05,
+                    s2=jax.random.normal(k, (B, mid), dtype) * 0.1,
+                    wh=jax.random.normal(k, (2, mid), dtype) * 0.05,
+                    sh=jax.random.normal(k, (B, mid), dtype) * 0.1,
                     b1=jnp.zeros((mid,), dtype),
                     b2=jnp.zeros((mid,), dtype),
                     pe=jax.random.normal(k, (1, PE, H, W), dtype),
@@ -65,6 +71,13 @@ def main():
         return ps
 
     params = make_params()
+
+    def modw(w, s):
+        """StyleGAN2 modulate + demodulate -> per-sample (B, O, I) weights."""
+        wb = w[None] * (1.0 + s[:, None, :])
+        return wb * jax.lax.rsqrt(
+            jnp.sum(jnp.square(wb), axis=2, keepdims=True) + 1e-8
+        )
 
     def lrelu(x):
         return jnp.where(x >= 0, x, 0.2 * x) * 1.4142135
@@ -86,10 +99,18 @@ def main():
                 h = jnp.einsum("bchw,pw->bchp", h, Wm)
                 h = jnp.einsum("bchp,oh->bcop", h, Hm)
                 h = jnp.concatenate([h, jnp.broadcast_to(pe, (B, PE, H, W))], axis=1)
-            h = lrelu(jnp.einsum("boi,bihw->bohw", p["w1"], h) + p["b1"][None, :, None, None])
+            h = lrelu(
+                jnp.einsum("boi,bihw->bohw", modw(p["w1"], p["s1"]), h)
+                + p["b1"][None, :, None, None]
+            )
             if i:
-                h = lrelu(jnp.einsum("boi,bihw->bohw", p["w2"], h) + p["b2"][None, :, None, None])
-            o = jnp.einsum("boi,bihw->bohw", p["wh"], h).astype(jnp.float32)
+                h = lrelu(
+                    jnp.einsum("boi,bihw->bohw", modw(p["w2"], p["s2"]), h)
+                    + p["b2"][None, :, None, None]
+                )
+            o = jnp.einsum("boi,bihw->bohw", modw(p["wh"], p["sh"]), h).astype(
+                jnp.float32
+            )
             if skip is None:
                 skip = o
             else:
@@ -113,10 +134,14 @@ def main():
                 h = jnp.einsum("bhwc,pw->bhpc", h, Wm)
                 h = jnp.einsum("bhpc,oh->bopc", h, Hm)
                 h = jnp.concatenate([h, jnp.broadcast_to(pe, (B, H, W, PE))], axis=-1)
-            h = lrelu(jnp.einsum("boi,bhwi->bhwo", p["w1"], h) + p["b1"])
+            h = lrelu(jnp.einsum("boi,bhwi->bhwo", modw(p["w1"], p["s1"]), h) + p["b1"])
             if i:
-                h = lrelu(jnp.einsum("boi,bhwi->bhwo", p["w2"], h) + p["b2"])
-            o = jnp.einsum("boi,bhwi->bohw", p["wh"], h).astype(jnp.float32)
+                h = lrelu(
+                    jnp.einsum("boi,bhwi->bhwo", modw(p["w2"], p["s2"]), h) + p["b2"]
+                )
+            o = jnp.einsum("boi,bhwi->bohw", modw(p["wh"], p["sh"]), h).astype(
+                jnp.float32
+            )
             if skip is None:
                 skip = o
             else:
@@ -142,6 +167,32 @@ def main():
         _ = float(f())
         dt = (time.perf_counter() - t0) / REPS
         print(f"trunk {name}: {1e3 * dt:8.2f} ms  (B={B}, {args.dtype})")
+
+    # resample-only, per transition shape (isolates the layout effect)
+    for i in range(1, len(chs)):
+        C = chs[i - 1]
+        H, W = ress[i - 1]
+        Hm, Wm = mats(H, W)
+        x_nchw = jax.random.normal(key, (B, C, H, W), dtype)
+        x_nhwc = jnp.transpose(x_nchw, (0, 2, 3, 1))
+
+        def rs_nchw(s, x=x_nchw, Hm=Hm, Wm=Wm):
+            y = jnp.einsum("bchw,pw->bchp", x + s, Wm)
+            y = jnp.einsum("bchp,oh->bcop", y, Hm)
+            return jnp.mean(y.astype(jnp.float32))
+
+        def rs_nhwc(s, x=x_nhwc, Hm=Hm, Wm=Wm):
+            y = jnp.einsum("bhwc,pw->bhpc", x + s, Wm)
+            y = jnp.einsum("bhpc,oh->bopc", y, Hm)
+            return jnp.mean(y.astype(jnp.float32))
+
+        for name, fn in [("NCHW", rs_nchw), ("NHWC", rs_nhwc)]:
+            f = loop(fn)
+            _ = float(f())
+            t0 = time.perf_counter()
+            _ = float(f())
+            dt = (time.perf_counter() - t0) / REPS
+            print(f"resample {C:4d}ch {H:3d}x{W:<4d} {name}: {1e3 * dt:8.2f} ms")
 
 
 if __name__ == "__main__":
