@@ -177,24 +177,26 @@ class SynthesisBlock(nn.Module):
             pe_in = fourier_out_ch(
                 self.pe_ch, self.pe_type, self.resolution, self.pe_scale_offset
             )
-            # PERF: at eval the angle grid is shared across the batch (shape (1,2,H,W));
-            # computing the sin/cos encoding once and broadcasting saves the dominant
-            # transcendental cost of sampling.
-            h_pe = FourierFeature(
+            # PERF: the PE stays at the batch of `angle` (typically 1) in BOTH modes:
+            # conv1 consumes it via ModConv2d's shared-input split contraction (the
+            # (B, in+pe, H, W) concat is never materialized — see BASELINE.md), and
+            # the train-time azimuth shift (aug_coords) enters as a per-sample
+            # rotation of conv1's PE weight columns instead of a per-sample volume.
+            ff = FourierFeature(
                 resolution=tuple(self.resolution),
                 basis_scale=self.pe_type,
                 num_freqs=self.pe_ch,
                 L_offset=tuple(self.pe_scale_offset),
                 name="pe",
-            )(angle.astype(dtype), azim_shift=azim_shift)
-            if h is not None:
-                if h_pe.shape[0] != h.shape[0]:
-                    h_pe = jnp.broadcast_to(h_pe, (h.shape[0], *h_pe.shape[1:]))
-                h = jnp.concatenate([h, h_pe], axis=1)
+            )
+            if azim_shift is not None:
+                h_pe, pe_rot = ff(
+                    angle.astype(dtype), azim_shift=azim_shift, as_rotation=True
+                )
             else:
-                h = h_pe
+                h_pe, pe_rot = ff(angle.astype(dtype)), None
         else:
-            pe_in = 0
+            pe_in, h_pe, pe_rot = 0, None, None
 
         def noise_rng(i):
             if fixed_noise is not None:
@@ -202,8 +204,6 @@ class SynthesisBlock(nn.Module):
             return self.make_rng("noise")
 
         w0 = next(ws)
-        if h.shape[0] != w0.shape[0]:  # first block at eval: batch-1 PE map
-            h = jnp.broadcast_to(h, (w0.shape[0], *h.shape[1:]))
         h = ModConv2d(
             in_ch=self.in_ch + pe_in,
             out_ch=self.mid_ch,
@@ -214,7 +214,7 @@ class SynthesisBlock(nn.Module):
             use_bias=False,
             ema=True,
             name="conv1",
-        )(h, w0, train=train)
+        )(h, w0, train=train, x_shared=h_pe, shared_rotation=pe_rot)
         if self.use_noise:
             h = NoiseInjection(name="noise1")(
                 h,

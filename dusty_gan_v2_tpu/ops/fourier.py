@@ -89,8 +89,9 @@ class FourierFeature(nn.Module):
         return freqs.astype(jnp.float32), phase.astype(jnp.float32)
 
     @nn.compact
-    def __call__(self, angle: jnp.ndarray, azim_shift=None) -> jnp.ndarray:
-        """angle: (B, 2, H, W) -> (B, out_ch, H, W).
+    def __call__(self, angle: jnp.ndarray, azim_shift=None, as_rotation: bool = False):
+        """angle: (B, 2, H, W) -> (B, out_ch, H, W); with as_rotation and azim_shift,
+        -> (base encoding, (sin_delta, cos_delta) each (B, F)).
 
         azim_shift (B,) optional: encodes angle with the azimuth channel shifted by a
         per-sample constant WITHOUT materializing per-sample angle grids — the shift
@@ -114,6 +115,13 @@ class FourierFeature(nn.Module):
             angle.dtype
         )[None, :, None, None]
         s, c = jnp.sin(coords), jnp.cos(coords)
+        if azim_shift is not None and as_rotation:
+            # return the UNSHIFTED encoding plus the per-sample per-frequency
+            # rotation coefficients: the caller folds the shift into the consuming
+            # modconv's weight columns (ModConv2d shared_rotation), so no per-sample
+            # (B, F, H, W) volume is ever materialized.
+            delta = f[:, 1][None] * azim_shift[:, None]  # (B, F)
+            return jnp.concatenate([s, c], axis=1), (jnp.sin(delta), jnp.cos(delta))
         if azim_shift is not None:
             delta = f[:, 1][None] * azim_shift[:, None]  # (B, F)
             sd = jnp.sin(delta)[:, :, None, None]

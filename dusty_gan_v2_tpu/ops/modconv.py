@@ -41,10 +41,46 @@ class ModConv2d(nn.Module):
     ema_decay: float = 0.9989  # 0.5 ** (32 / 20_000)
 
     @nn.compact
-    def __call__(self, x, style, train: bool = False):
-        B, _, H, W = x.shape
+    def __call__(
+        self,
+        x,
+        style,
+        train: bool = False,
+        x_shared=None,
+        shared_rotation=None,
+    ):
+        """Apply the modulated conv.
+
+        x: (B, Cx, H, W) per-sample input, or None when the input is entirely
+           `x_shared`.
+        x_shared: optional (1, Cs, H, W) batch-shared extra input channels,
+           logically concatenated AFTER x's channels (Cx + Cs == in_ch). The
+           contraction is split so the shared part runs as ONE (B*O, Cs)x(Cs, HW)
+           matmul against the batch-1 tensor — the (B, Cx+Cs, H, W) concat (which
+           dominates HBM traffic when Cs is large, see BASELINE.md) is never
+           materialized. Only ksize=1/stride=1 supports this path.
+        shared_rotation: optional (sd, cd) pair of (B, n) per-sample coefficients
+           with Cs == 2n; the shared channels are treated as [sin-block, cos-block]
+           of a Fourier encoding and the *weight columns* are rotated per sample:
+           W's = Ws*cd - Wc*sd, W'c = Ws*sd + Wc*cd — exactly equivalent to
+           contracting against the per-sample phase-shifted encoding
+           [s*cd + c*sd, c*cd - s*sd] (the aug_coords azimuth shift,
+           reference dusty_v2.py:264-274) without materializing it. The rotation
+           is orthogonal per frequency pair with equal angles, so it commutes
+           exactly with demodulation (row norms are preserved).
+        """
+        if x_shared is None:
+            assert x is not None
+            B, _, H, W = x.shape
+            dtype = x.dtype
+        else:
+            assert self.ksize == 1 and self.stride == 1 and not self.transposed
+            _, Cs, H, W = x_shared.shape
+            Cx = 0 if x is None else x.shape[1]
+            assert Cx + Cs == self.in_ch, (Cx, Cs, self.in_ch)
+            B = style.shape[0]
+            dtype = x_shared.dtype
         kh = kw = self.ksize
-        dtype = x.dtype
 
         weight = self.param(
             "weight",
@@ -90,7 +126,22 @@ class ModConv2d(nn.Module):
         if self.ema:
             ema_var = self.variable("stats", "ema_var", lambda: jnp.ones((), jnp.float32))
             if train and not self.is_initializing():
-                var = jnp.mean(jnp.square(x.astype(jnp.float32)))
+                if x_shared is None:
+                    var = jnp.mean(jnp.square(x.astype(jnp.float32)))
+                else:
+                    # mean of squares over the LOGICAL concat input. A per-sample
+                    # phase shift of the [sin, cos] encoding (shared_rotation) is an
+                    # isometry per frequency pair, so the shared part's statistic is
+                    # exactly the base encoding's — no per-sample terms.
+                    ss = jnp.sum(jnp.square(x_shared.astype(jnp.float32)))
+                    n_sh = x_shared.size
+                    if x is not None:
+                        sx = jnp.sum(jnp.square(x.astype(jnp.float32)))
+                        var = (sx + B * ss / x_shared.shape[0]) / (
+                            x.size + B * n_sh / x_shared.shape[0]
+                        )
+                    else:
+                        var = ss / n_sh
                 new = ema_var.value + (1.0 - self.ema_decay) * (
                     jax.lax.stop_gradient(var) - ema_var.value
                 )
@@ -111,6 +162,40 @@ class ModConv2d(nn.Module):
                     dimension_numbers=("NCHW", "OIHW", "NCHW"),
                 )[0]
             )(x, wb_t)
+        elif x_shared is not None:
+            w2d = wb[..., 0, 0]  # (B, O, Cx+Cs)
+            Cx = 0 if x is None else x.shape[1]
+            w_sh = w2d[:, :, Cx:]
+            if shared_rotation is not None:
+                sd, cd = shared_rotation  # (B, n) each, Cs == 2n
+                n = Cs // 2
+                ws_, wc_ = w_sh[:, :, :n], w_sh[:, :, n:]
+                sd = sd[:, None, :].astype(dtype)
+                cd = cd[:, None, :].astype(dtype)
+                w_sh = jnp.concatenate(
+                    [ws_ * cd - wc_ * sd, ws_ * sd + wc_ * cd], axis=-1
+                )
+            if x_shared.shape[0] == 1:
+                h = (
+                    jnp.matmul(
+                        w_sh.reshape(B * self.out_ch, Cs),
+                        x_shared.reshape(Cs, H * W),
+                        preferred_element_type=jnp.float32,
+                    )
+                    .reshape(B, self.out_ch, H, W)
+                    .astype(dtype)
+                )
+            else:  # per-sample shared input (e.g. per-sample angle grids)
+                h = jnp.einsum(
+                    "boi,bihw->bohw", w_sh,
+                    jnp.broadcast_to(x_shared, (B, Cs, H, W)),
+                    preferred_element_type=jnp.float32,
+                ).astype(dtype)
+            if x is not None:
+                h = h + jnp.einsum(
+                    "boi,bihw->bohw", w2d[:, :, :Cx], x,
+                    preferred_element_type=jnp.float32,
+                ).astype(dtype)
         elif kh == 1 and kw == 1 and self.stride == 1:
             # hot path: per-sample 1x1 modulated conv == batched matmul on the MXU
             h = jnp.einsum(

@@ -305,6 +305,65 @@ class TestAzimShiftIdentity:
         d = np.asarray(jnp.sin(down_then_shift - shift_then_down))
         np.testing.assert_allclose(d, 0.0, atol=1e-5)
 
+    def test_split_contraction_with_rotation_equals_materialized(self):
+        """ModConv2d(x, x_shared=pe, shared_rotation) must equal the plain path on
+        concat(x, pe_shifted): the azimuth shift folded into the weight columns is
+        an exact reformulation (orthogonal rotation commutes with demodulation),
+        and so is the split contraction; the ema_var statistic must match too."""
+        from dusty_gan_v2_tpu.ops import FourierFeature, ModConv2d
+
+        res = (8, 32)
+        B, Cx, n_freqs = 3, 5, 64
+        rng = np.random.RandomState(0)
+        ff = FourierFeature(resolution=res, num_freqs=n_freqs)
+        angle = make_angle(res)
+        ffv = ff.init(jax.random.PRNGKey(0), angle)
+        shift = jnp.asarray([0.7, 2.1, 5.9])
+        pe_base, (sd, cd) = ff.apply(ffv, angle, azim_shift=shift, as_rotation=True)
+        pe_shifted = ff.apply(ffv, angle, azim_shift=shift)  # (B, 2n, H, W)
+
+        mc = ModConv2d(
+            in_ch=Cx + 2 * (n_freqs // 2), out_ch=7, mod_ch=16, ksize=1, stride=1,
+            padding=0, use_bias=False, ema=True,
+        )
+        x = jnp.asarray(rng.randn(B, Cx, *res).astype(np.float32))
+        style = jnp.asarray(rng.randn(B, 16).astype(np.float32))
+        xcat = jnp.concatenate([x, pe_shifted], axis=1)
+        mv = mc.init(jax.random.PRNGKey(1), xcat, style)
+
+        ref, mref = mc.apply(mv, xcat, style, train=True, mutable=["stats"])
+        got, mgot = mc.apply(
+            mv, x, style, train=True, x_shared=pe_base, shared_rotation=(sd, cd),
+            mutable=["stats"],
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+        np.testing.assert_allclose(
+            float(mgot["stats"]["ema_var"]), float(mref["stats"]["ema_var"]),
+            rtol=1e-5,
+        )
+
+    def test_split_contraction_pe_only(self):
+        """First-block case: x=None, input is entirely the shared PE."""
+        from dusty_gan_v2_tpu.ops import FourierFeature, ModConv2d
+
+        res = (4, 16)
+        n_freqs = 32
+        ff = FourierFeature(resolution=res, num_freqs=n_freqs)
+        angle = make_angle(res)
+        ffv = ff.init(jax.random.PRNGKey(0), angle)
+        pe = ff.apply(ffv, angle)  # (1, 2n, H, W)
+        B = 4
+        style = jnp.asarray(np.random.RandomState(1).randn(B, 8).astype(np.float32))
+        mc = ModConv2d(
+            in_ch=2 * (n_freqs // 2), out_ch=6, mod_ch=8, ksize=1, stride=1,
+            padding=0, use_bias=False, ema=True,
+        )
+        peb = jnp.broadcast_to(pe, (B, *pe.shape[1:]))
+        mv = mc.init(jax.random.PRNGKey(2), peb, style)
+        ref = mc.apply(mv, peb, style)
+        got = mc.apply(mv, None, style, x_shared=pe)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
     def test_train_forward_still_works(self, g_v2):
         G, variables, angle = g_v2
         z = jax.random.normal(jax.random.PRNGKey(2), (2, 64))
