@@ -171,8 +171,20 @@ class SynthesisBlock(nn.Module):
             else None
         )
 
+        conv1_x_op = None
         if h is not None:
-            h = resample(h.astype(dtype), up_plan) if up_plan is not None else h.astype(dtype)
+            h = h.astype(dtype)
+            if up_plan is not None:
+                if train:
+                    # the ema_var statistic is taken on the resampled input
+                    # (reference style.py:98-103 on the conv1 input), so train mode
+                    # keeps the reference order
+                    h = resample(h, up_plan)
+                else:
+                    # eval: the 1x1 contraction commutes with the (linear,
+                    # per-channel) resample — contract at the LOW resolution
+                    # (4x fewer pixels, mid_ch <= in_ch channels resampled)
+                    conv1_x_op = lambda y: resample(y, up_plan)
         if self.use_pe:
             pe_in = fourier_out_ch(
                 self.pe_ch, self.pe_type, self.resolution, self.pe_scale_offset
@@ -214,7 +226,7 @@ class SynthesisBlock(nn.Module):
             use_bias=False,
             ema=True,
             name="conv1",
-        )(h, w0, train=train, x_shared=h_pe, shared_rotation=pe_rot)
+        )(h, w0, train=train, x_shared=h_pe, shared_rotation=pe_rot, x_op=conv1_x_op)
         if self.use_noise:
             h = NoiseInjection(name="noise1")(
                 h,
@@ -247,12 +259,16 @@ class SynthesisBlock(nn.Module):
             h, next(ws), train=train
         )
 
-        # skip accumulation in float32 (reference dusty_v2.py:174-178)
-        for k in o:
-            o[k] = o[k].astype(jnp.float32)
-            if skip is not None:
-                o[k] = o[k] + resample(skip[k], up_plan)
-        return h, o
+        # skip accumulation in float32 (reference dusty_v2.py:174-178). The heads are
+        # stacked into ONE (B, sum(ch), H, W) tensor so each block runs a single
+        # skip resample (resampling is per-channel independent, so this is exact).
+        o_stack = jnp.concatenate(
+            [o[c["name"]].astype(jnp.float32) for c in self.out_ch if c["ch"] > 0],
+            axis=1,
+        )
+        if skip is not None:
+            o_stack = o_stack + resample(skip, up_plan)
+        return h, o_stack
 
 
 def downsample_angle(angle: jnp.ndarray, plan) -> jnp.ndarray:
@@ -382,14 +398,18 @@ class SynthesisNetwork(nn.Module):
         if do_aug:
             # cancel the angular shift in image space: translate by +shift/(2pi)*W px
             delta = shift / (2.0 * np.pi) * W
-            skip = {k: circular_translate_w(v, delta) for k, v in skip.items()}
+            skip = circular_translate_w(skip, delta)
 
         out = {}
+        c0 = 0
         for o in self.out_ch:
             if o["ch"] == 0:
                 continue
             k = o["name"]
-            out[k] = resolve_act(o.get("act"))(skip[k] * self.output_scale)
+            out[k] = resolve_act(o.get("act"))(
+                skip[:, c0 : c0 + o["ch"]] * self.output_scale
+            )
+            c0 += o["ch"]
         return out
 
 

@@ -48,6 +48,7 @@ class ModConv2d(nn.Module):
         train: bool = False,
         x_shared=None,
         shared_rotation=None,
+        x_op=None,
     ):
         """Apply the modulated conv.
 
@@ -59,6 +60,13 @@ class ModConv2d(nn.Module):
            matmul against the batch-1 tensor — the (B, Cx+Cs, H, W) concat (which
            dominates HBM traffic when Cs is large, see BASELINE.md) is never
            materialized. Only ksize=1/stride=1 supports this path.
+        x_op: optional LINEAR channelwise-independent map (e.g. a FIR resample)
+           applied to the x-part contraction result. Since the 1x1 conv acts on
+           channels and x_op on space, they commute exactly: x_op(W @ x) ==
+           W @ x_op(x) — callers use this to contract at the LOWER resolution
+           before upsampling (4x fewer pixels in the matmul). Only the 1x1 path;
+           x's spatial dims may differ from x_shared's (x_op must produce
+           x_shared's resolution).
         shared_rotation: optional (sd, cd) pair of (B, n) per-sample coefficients
            with Cs == 2n; the shared channels are treated as [sin-block, cos-block]
            of a Fourier encoding and the *weight columns* are rotated per sample:
@@ -149,6 +157,7 @@ class ModConv2d(nn.Module):
             wb = wb / (jnp.sqrt(ema_var.value).astype(dtype) + 1e-8)
 
         if self.transposed:
+            assert x_op is None
             wb_t = wb.transpose(0, 2, 1, 3, 4)  # (B, I, O, kh, kw)
             wb_t = jnp.flip(wb_t, axis=(-2, -1)).transpose(0, 2, 1, 3, 4)  # conv form
             p = self.padding
@@ -192,16 +201,20 @@ class ModConv2d(nn.Module):
                     preferred_element_type=jnp.float32,
                 ).astype(dtype)
             if x is not None:
-                h = h + jnp.einsum(
+                hx = jnp.einsum(
                     "boi,bihw->bohw", w2d[:, :, :Cx], x,
                     preferred_element_type=jnp.float32,
                 ).astype(dtype)
+                h = h + (x_op(hx) if x_op is not None else hx)
         elif kh == 1 and kw == 1 and self.stride == 1:
             # hot path: per-sample 1x1 modulated conv == batched matmul on the MXU
             h = jnp.einsum(
                 "boi,bihw->bohw", wb[..., 0, 0], x, preferred_element_type=jnp.float32
             ).astype(dtype)
+            if x_op is not None:
+                h = x_op(h)
         else:
+            assert x_op is None
             p = self.padding
             h = jax.vmap(
                 lambda xi, wi: lax.conv_general_dilated(

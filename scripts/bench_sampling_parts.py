@@ -66,52 +66,61 @@ def main():
         mapping.apply(map_vars, z0)[:, None, :], (B, synthesis.num_styles, 512)
     )
 
-    def full_fn(s):
-        o = G.apply(variables, z0 + s, angle, truncation_psi=0.7, gumbel_noise=noise0)
+    def full_fn(s, ops):
+        o = G.apply(
+            ops["v"], ops["z"] + s, angle, truncation_psi=0.7, gumbel_noise=ops["n"]
+        )
         return jnp.mean(o["image"])
 
-    def map_fn(s):
-        return jnp.mean(mapping.apply(map_vars, z0 + s))
+    def map_fn(s, ops):
+        return jnp.mean(mapping.apply(ops["v"], ops["z"] + s))
 
-    def syn_fn(s):
-        o = synthesis.apply(syn_vars, ws0 + s, angle)
+    def syn_fn(s, ops):
+        o = synthesis.apply(ops["v"], ops["w"] + s, angle)
         return jnp.mean(o["image"])
 
     skip0 = jax.random.normal(jax.random.PRNGKey(3), (B, 2, 32, 256), jnp.float32)
     up = make_resample(up=2, window=(1, 3, 3, 1), ring=True)
 
-    def skip_fn(s):
-        return jnp.mean(resample(skip0 + s, up))
+    def skip_fn(s, ops):
+        return jnp.mean(resample(ops["x"] + s, up))
 
     wh = jax.random.normal(jax.random.PRNGKey(4), (B, 1, 32), jnp.dtype(args.dtype))
     hh = jax.random.normal(jax.random.PRNGKey(5), (B, 32, *res), jnp.dtype(args.dtype))
 
-    def head_fn(s):
+    def head_fn(s, ops):
         y = jnp.einsum(
-            "boi,bihw->bohw", wh, hh + s, preferred_element_type=jnp.float32
+            "boi,bihw->bohw", ops["w"], ops["x"] + s,
+            preferred_element_type=jnp.float32,
         )
         return jnp.mean(y)
 
     def loop(fn, cast=jnp.float32):
-        def body(i, s):
-            return fn((s * 1e-9).astype(cast)).astype(jnp.float32)
+        # operands enter as jit ARGUMENTS (closed-over constants are embedded in the
+        # remote-compile payload and trip its size limit)
+        def run(ops):
+            def body(i, s):
+                return fn((s * 1e-9).astype(cast), ops).astype(jnp.float32)
 
-        return jax.jit(
-            lambda: jax.lax.fori_loop(0, REPS, body, jnp.asarray(0, jnp.float32))
-        )
+            return jax.lax.fori_loop(0, REPS, body, jnp.asarray(0, jnp.float32))
+
+        return jax.jit(run)
 
     parts = {
-        "mapping (z->w)": loop(map_fn),
-        "synthesis (ws->heads)": loop(syn_fn),
-        "full G (incl. raydrop)": loop(full_fn),
-        "1 skip resample 2ch f32": loop(skip_fn),
-        "1 head einsum 32->1": loop(head_fn, jnp.dtype(args.dtype)),
+        "mapping (z->w)": (loop(map_fn), {"v": map_vars, "z": z0}),
+        "synthesis (ws->heads)": (loop(syn_fn), {"v": syn_vars, "w": ws0}),
+        "full G (incl. raydrop)": (
+            loop(full_fn), {"v": variables, "z": z0, "n": noise0},
+        ),
+        "1 skip resample 2ch f32": (loop(skip_fn), {"x": skip0}),
+        "1 head einsum 32->1": (
+            loop(head_fn, jnp.dtype(args.dtype)), {"w": wh, "x": hh},
+        ),
     }
-    for name, f in parts.items():
-        o = f()
-        _ = float(o)
+    for name, (f, ops) in parts.items():
+        _ = float(f(ops))
         t0 = time.perf_counter()
-        _ = float(f())
+        _ = float(f(ops))
         dt = (time.perf_counter() - t0) / REPS
         print(f"{name:>26}: {1e3 * dt:8.2f} ms")
 
