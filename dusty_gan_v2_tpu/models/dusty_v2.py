@@ -86,11 +86,13 @@ class Head(nn.Module):
 
     @nn.compact
     def __call__(self, x, style, train: bool = False) -> Dict[str, jnp.ndarray]:
-        out = {}
-        for o in self.out_ch:
-            if o["ch"] == 0:
-                continue
-            out[o["name"]] = ModConv2d(
+        # the per-head modconvs share the input x, so their per-sample (B, ch, mid)
+        # weights are stacked and applied as ONE einsum (x is read once instead of
+        # once per head); params/stats stay per-head for checkpoint parity
+        outs = [o for o in self.out_ch if o["ch"] > 0]
+        wbs, bs = [], []
+        for o in outs:
+            wb, b = ModConv2d(
                 in_ch=self.in_ch,
                 out_ch=o["ch"],
                 mod_ch=self.mod_ch,
@@ -100,7 +102,18 @@ class Head(nn.Module):
                 demod=False,
                 ema=True,
                 name=o["name"],
-            )(x, style, train=train)
+            )(x, style, train=train, return_weights=True)
+            wbs.append(wb)
+            bs.append(b if b is not None else jnp.zeros((o["ch"],), jnp.float32))
+        wcat = jnp.concatenate(wbs, axis=1)
+        y = jnp.einsum(
+            "boi,bihw->bohw", wcat, x, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        y = y + jnp.concatenate(bs).reshape(1, -1, 1, 1).astype(x.dtype)
+        out, c0 = {}, 0
+        for o in outs:
+            out[o["name"]] = y[:, c0 : c0 + o["ch"]]
+            c0 += o["ch"]
         return out
 
 

@@ -49,6 +49,7 @@ class ModConv2d(nn.Module):
         x_shared=None,
         shared_rotation=None,
         x_op=None,
+        return_weights: bool = False,
     ):
         """Apply the modulated conv.
 
@@ -60,6 +61,10 @@ class ModConv2d(nn.Module):
            matmul against the batch-1 tensor — the (B, Cx+Cs, H, W) concat (which
            dominates HBM traffic when Cs is large, see BASELINE.md) is never
            materialized. Only ksize=1/stride=1 supports this path.
+        return_weights: return the fully-processed per-sample (B, O, I) 1x1 weights
+           and the bias instead of contracting — callers fuse several sibling
+           ModConv2d heads into ONE einsum over a stacked weight (Head in
+           models/dusty_v2.py). ema stats still update when train=True.
         x_op: optional LINEAR channelwise-independent map (e.g. a FIR resample)
            applied to the x-part contraction result. Since the 1x1 conv acts on
            channels and x_op on space, they commute exactly: x_op(W @ x) ==
@@ -155,6 +160,15 @@ class ModConv2d(nn.Module):
                 )
                 ema_var.value = new
             wb = wb / (jnp.sqrt(ema_var.value).astype(dtype) + 1e-8)
+
+        if return_weights:
+            assert kh == 1 and kw == 1 and self.stride == 1 and not self.transposed
+            b = (
+                self.param("bias", nn.initializers.zeros, (self.out_ch,))
+                if self.use_bias
+                else None
+            )
+            return wb[..., 0, 0], b
 
         if self.transposed:
             assert x_op is None
