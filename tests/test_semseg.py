@@ -124,6 +124,48 @@ class TestSqueezeSegV2Parity:
         out = jm.apply(variables, x, xyz, mask)
         assert out.shape == (1, 3, 16, 64)
 
+    def test_no_retrace_across_chained_steps(self):
+        """State avals must be stable across a training step.
+
+        Regression: CRF weight params initialized from python floats were
+        weak_type=True at init but strong-typed after one optimizer step, so the
+        second chained step was a jit cache MISS — one full silent recompile of
+        the train graph (~5-60 s on a remote device, measured r2)."""
+        import optax
+
+        jm = SqueezeSegV2(inputs=("depth",), num_classes=3, use_crf=True)
+        x = jnp.asarray(RNG.randn(2, 1, 8, 32).astype(np.float32))
+        xyz = jnp.asarray(RNG.randn(2, 3, 8, 32).astype(np.float32))
+        mask = jnp.ones((2, 8, 32))
+        label = jnp.asarray(RNG.randint(0, 3, (2, 8, 32)).astype(np.int32))
+        key = jax.random.PRNGKey(0)
+        variables = jm.init({"params": key, "dropout": key}, x, xyz, mask)
+        params, stats = variables["params"], variables.get("batch_stats", {})
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.add_decayed_weights(1e-4),
+            optax.sgd(0.05, momentum=0.9),
+        )
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(p, st, o, rkey):
+            def loss_fn(pp):
+                out, mut = jm.apply(
+                    {"params": pp, "batch_stats": st}, x, xyz, mask,
+                    train=True, mutable=["batch_stats"], rngs={"dropout": rkey},
+                )
+                pl = focal_loss(out, label, 2.0, jnp.ones(3))
+                return masked_seg_loss(pl, mask), mut.get("batch_stats", {})
+
+            (_, nst), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            u, o = tx.update(g, o, p)
+            return optax.apply_updates(p, u), nst, o
+
+        params, stats, opt = step(params, stats, opt, key)
+        params, stats, opt = step(params, stats, opt, key)
+        assert step._cache_size() == 1
+
     def test_train_updates_bn(self):
         jm = SqueezeSegV2(inputs=("depth",), num_classes=3)
         x = jnp.asarray(RNG.randn(2, 1, 16, 64).astype(np.float32)) * 3

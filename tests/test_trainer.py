@@ -154,6 +154,22 @@ class TestTrainStep:
         assert "loss/G/path_length" in metrics_all[2]
         assert "stats/ada_rt" in metrics_all[2]
 
+    def test_no_retrace_across_chained_steps(self, trainer_and_state):
+        """State avals must be stable across a step: any weak_type / aval drift
+        between init_state and step outputs makes the second chained step a jit
+        cache MISS — a full silent recompile (~5-60 s on a remote device).
+        Regression for the CRF-param weak_type bug found in the semseg vertical."""
+        t, state = trainer_and_state
+        rng = np.random.RandomState(7)
+        s = fresh(state)
+        fn, *_ = t.get_step_fn(1)  # adv-only variant (pl at 2,4; r1 at 4)
+        batch = synth_batch(rng, t.batch_size, RES)
+        s, _ = t.step(s, batch, jax.random.PRNGKey(1), 1)
+        before = fn._cache_size()  # shared module fixture: cache may be warm
+        batch = synth_batch(rng, t.batch_size, RES)
+        s, _ = t.step(s, batch, jax.random.PRNGKey(3), 3)
+        assert fn._cache_size() == before
+
     def test_ema_follows(self, trainer_and_state):
         t, state = trainer_and_state
         rng = np.random.RandomState(1)

@@ -198,6 +198,14 @@ def main():
     )
     opt_state = tx.init(params)
 
+    # commit the train state to the mesh up front (replicated): the jitted step's
+    # outputs carry NamedSharding from out_specs, and sharding is part of the jit
+    # cache key — uncommitted init state would make step 2 a silent full recompile
+    repl = jax.sharding.NamedSharding(mesh, P())
+    params, batch_stats, opt_state = jax.device_put(
+        (params, batch_stats, opt_state), repl
+    )
+
     loss_name = cfg.loss.name
     cls_weight = jnp.asarray(cfg.loss.cls_weight, jnp.float32)
     gamma = float(cfg.loss.get("focal_gamma", 2.0))
