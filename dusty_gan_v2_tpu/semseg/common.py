@@ -101,10 +101,14 @@ class BatchNorm2d(nn.Module):
                              lambda: jnp.zeros((self.ch,)))
         var = self.variable("batch_stats", "running_var",
                             lambda: jnp.ones((self.ch,)))
+        # statistics always in float32: under a bf16 compute policy the conv
+        # activations arrive in bf16, but batch mean/var and the running-stat
+        # EMA need full precision (bf16 has ~3 decimal digits)
+        x32 = x.astype(jnp.float32)
         if train:
             axes = (0, 2, 3)
-            m = jnp.mean(x, axis=axes)
-            v = jnp.var(x, axis=axes)
+            m = jnp.mean(x32, axis=axes)
+            v = jnp.var(x32, axis=axes)
             if not self.is_initializing():
                 n = x.shape[0] * x.shape[2] * x.shape[3]
                 unbiased = v * n / max(n - 1, 1)
@@ -114,7 +118,8 @@ class BatchNorm2d(nn.Module):
             m, v = mean.value, var.value
         shape = (1, -1, 1, 1)
         inv = lax.rsqrt(v.reshape(shape) + 1e-5)
-        return (x - m.reshape(shape)) * inv * gamma.reshape(shape) + beta.reshape(shape)
+        out = (x32 - m.reshape(shape)) * inv * gamma.reshape(shape) + beta.reshape(shape)
+        return out.astype(x.dtype)
 
 
 class ConvReLU(nn.Module):
@@ -240,8 +245,8 @@ def max_pool2d(x, kernel=3, stride=(1, 2), padding=1):
         stride = (stride, stride)
     return lax.reduce_window(
         x,
-        -jnp.inf,
-        lax.max,
+        np.asarray(-np.inf, x.dtype),  # concrete scalar in x's dtype (bf16-safe);
+        lax.max,                       # a traced init breaks reduce_window's VJP
         window_dimensions=(1, 1, kernel, kernel),
         window_strides=(1, 1, *stride),
         padding=((0, 0), (0, 0), (padding, padding), (padding, padding)),

@@ -98,9 +98,11 @@ class SqueezeSegV1(nn.Module):
     head_dropout_p: float = 0.5
     use_crf: bool = False
     crf_kwargs: Optional[dict] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, img, xyz=None, mask=None, train: bool = False):
+        img = img.astype(self.dtype)
         in_ch = setup_in_ch(self.inputs)
         init = trunc_normal_init(0.001)
         h_1b = ConvReLU(in_ch, 64, (1, 1), (1, 1), (0, 0), kernel_init=init,
@@ -124,6 +126,7 @@ class SqueezeSegV1(nn.Module):
         h = FireV1(64, 16, 32, 32, up=True, name="fire13")(h) + h_1b
         logit = HeadConv(64, self.num_classes, 3, self.head_dropout_p,
                          kernel_init=init, name="head")(h, train=train)
+        logit = logit.astype(jnp.float32)  # CRF/loss in full precision
         if self.use_crf:
             assert xyz is not None and mask is not None
             logit = CRFRNN(num_classes=self.num_classes, **(self.crf_kwargs or {}),
@@ -139,9 +142,14 @@ class SqueezeSegV2(nn.Module):
     use_crf: bool = False
     crf_kwargs: Optional[dict] = None
     logit_bias: Optional[Tuple[float, ...]] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, img, xyz=None, mask=None, train: bool = False):
+        # compute-dtype policy: master params stay float32 (every block casts
+        # its weights to the activation dtype at trace time), BatchNorm reduces
+        # in float32 (common.py), logits return to float32 before CRF/loss
+        img = img.astype(self.dtype)
         in_ch = setup_in_ch(self.inputs)
         bm = self.bn_momentum
         h_1b = ConvReLUNorm(in_ch, 64, (1, 1), (1, 1), (0, 0), bm,
@@ -182,6 +190,7 @@ class SqueezeSegV2(nn.Module):
             kernel_init=trunc_normal_init(0.1),
             bias_init_values=self.logit_bias, name="head",
         )(h, train=train)
+        logit = logit.astype(jnp.float32)  # CRF/loss in full precision
         if self.use_crf:
             assert xyz is not None and mask is not None
             logit = CRFRNN(num_classes=self.num_classes, **(self.crf_kwargs or {}),

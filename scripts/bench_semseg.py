@@ -44,12 +44,15 @@ def main():
     parser.add_argument("--batch", type=int, default=40)
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--no_crf", action="store_true")
+    parser.add_argument("--dtype", default=None, help="compute dtype, e.g. bfloat16")
     parser.add_argument("--no_donate", action="store_true")
     args = parser.parse_args()
 
     cfg = load_config(args.config)
     if args.no_crf:
         cfg.arch.use_crf = False
+    if args.dtype:
+        cfg.arch.compute_dtype = args.dtype
     model = build_model(cfg)
     modalities = tuple(cfg.arch.inputs)
     in_ch = sum(MODALITY_CH[m] for m in modalities)
@@ -177,6 +180,7 @@ def main():
     rec = {
         "step": "semseg_train" + ("" if not args.no_crf else "_nocrf"),
         "arch": str(cfg.arch.name),
+        "dtype": str(cfg.arch.get("compute_dtype", "float32")),
         "batch": B,
         "step_ms": round(1e3 * dt, 2),
         "imgs_per_sec": round(B / dt, 1),

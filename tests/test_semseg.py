@@ -124,6 +124,69 @@ class TestSqueezeSegV2Parity:
         out = jm.apply(variables, x, xyz, mask)
         assert out.shape == (1, 3, 16, 64)
 
+    def test_bf16_compute_policy(self):
+        """bf16 trunk: same params, f32 logits/stats, output close to the f32 run."""
+        x = jnp.asarray(RNG.randn(2, 1, 16, 64).astype(np.float32))
+        xyz = jnp.asarray(RNG.randn(2, 3, 16, 64).astype(np.float32))
+        mask = jnp.ones((2, 16, 64))
+        key = jax.random.PRNGKey(0)
+        m32 = SqueezeSegV2(inputs=("depth",), num_classes=3, use_crf=True)
+        m16 = SqueezeSegV2(
+            inputs=("depth",), num_classes=3, use_crf=True, dtype=jnp.bfloat16
+        )
+        v = m32.init({"params": key, "dropout": key}, x, xyz, mask)
+        o32 = m32.apply(v, x, xyz, mask)
+        o16 = m16.apply(v, x, xyz, mask)
+        assert o16.dtype == jnp.float32  # logits return to full precision
+        scale = float(jnp.abs(o32).max())
+        assert float(jnp.abs(o32 - o16).max()) < 0.02 * scale
+        o, mut = m16.apply(
+            v, x, xyz, mask, train=True, mutable=["batch_stats"],
+            rngs={"dropout": key},
+        )
+        assert jnp.isfinite(o).all()
+        for leaf in jax.tree_util.tree_leaves(mut["batch_stats"]):
+            assert leaf.dtype == jnp.float32  # BN stats stay f32
+
+    def test_bf16_training_dynamics(self):
+        """bf16 trunk still learns: overfit one tiny batch, loss must drop >2x."""
+        import optax
+
+        jm = SqueezeSegV2(
+            inputs=("depth",), num_classes=3, use_crf=False,
+            head_dropout_p=0.0, dtype=jnp.bfloat16,
+        )
+        x = jnp.asarray(RNG.randn(2, 1, 8, 32).astype(np.float32))
+        xyz = jnp.asarray(RNG.randn(2, 3, 8, 32).astype(np.float32))
+        mask = jnp.ones((2, 8, 32))
+        label = jnp.asarray(RNG.randint(0, 3, (2, 8, 32)).astype(np.int32))
+        key = jax.random.PRNGKey(0)
+        variables = jm.init({"params": key, "dropout": key}, x, xyz, mask)
+        params, stats = variables["params"], variables.get("batch_stats", {})
+        tx = optax.sgd(0.05, momentum=0.9)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(p, st, o):
+            def loss_fn(pp):
+                out, mut = jm.apply(
+                    {"params": pp, "batch_stats": st}, x, xyz, mask,
+                    train=True, mutable=["batch_stats"], rngs={"dropout": key},
+                )
+                pl = focal_loss(out, label, 2.0, jnp.ones(3))
+                return masked_seg_loss(pl, mask), mut.get("batch_stats", {})
+
+            (l, nst), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            u, o = tx.update(g, o, p)
+            return optax.apply_updates(p, u), nst, o, l
+
+        losses = []
+        for _ in range(30):
+            params, stats, opt, loss = step(params, stats, opt)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < 0.5 * losses[0], losses
+
     def test_no_retrace_across_chained_steps(self):
         """State avals must be stable across a training step.
 

@@ -90,6 +90,7 @@ def build_model(cfg):
     kwargs = dict(
         inputs=tuple(cfg.arch.inputs),
         num_classes=int(cfg.dataset.num_classes),
+        dtype=jnp.dtype(cfg.arch.get("compute_dtype", "float32")),
         head_dropout_p=float(cfg.arch.decoder.dropout_p),
         use_crf=bool(cfg.arch.use_crf),
         crf_kwargs={
