@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .pad import pad2d
+from .pad import conv3x3_ring_fast, pad2d
 
 __all__ = ["EqualLRDense", "EqualLRConv2d", "EqualLRConvTranspose2d", "RingConv2d"]
 
@@ -71,6 +71,9 @@ class EqualLRConv2d(nn.Module):
     use_bias: bool = True
     gain: float = 1.0
     lr_mul: float = 1.0
+    # pad-free circular-W/replicate-H 3x3 path (ops/pad.py::conv3x3_ring_fast);
+    # input arrives UNPADDED when set
+    ring_fast: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -80,13 +83,16 @@ class EqualLRConv2d(nn.Module):
         )
         scale = 1.0 / math.sqrt(self.in_ch * kh * kw)
         gain_ = self.gain * self.lr_mul
-        y = lax.conv_general_dilated(
-            x,
-            (w * scale).astype(x.dtype),
-            window_strides=self.stride,
-            padding="VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )
+        if self.ring_fast:
+            y = conv3x3_ring_fast(x, (w * scale).astype(x.dtype), self.stride)
+        else:
+            y = lax.conv_general_dilated(
+                x,
+                (w * scale).astype(x.dtype),
+                window_strides=self.stride,
+                padding="VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
             y = y + b.reshape(1, -1, 1, 1).astype(x.dtype)
@@ -156,7 +162,18 @@ class RingConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.padding != 0:
+        # pad-free fast path for the hot case (dusty_v2 D): 3x3, pad 1, circular-W /
+        # replicate-H, stride 1 or 2 — the boundary corrections replace the full
+        # padded-copy materialization (29% of D fwd+bwd, scripts/bench_ringpad.py)
+        fast = (
+            self.kernel_size == 3
+            and self.padding == 1
+            and self.ring
+            and self.pad_mode == "replicate"
+            and self.stride in (1, 2)
+            and (self.stride == 1 or (x.shape[-1] % 2 == 0 and x.shape[-2] % 2 == 0))
+        )
+        if not fast and self.padding != 0:
             x = pad2d(x, self.padding, ring=self.ring, mode=self.pad_mode)
         assert self.equal_lr, "non-equal-LR conv not used by any reference model"
         return EqualLRConv2d(
@@ -167,5 +184,6 @@ class RingConv2d(nn.Module):
             use_bias=self.use_bias,
             gain=self.gain,
             lr_mul=self.lr_mul,
+            ring_fast=fast,
             name="conv",
         )(x)

@@ -14,7 +14,7 @@ import functools
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["pad2d", "pad_ring", "filter2d"]
+__all__ = ["pad2d", "pad_ring", "filter2d", "conv3x3_ring_fast"]
 
 
 def _pad_axis(x: jnp.ndarray, axis: int, lo: int, hi: int, mode: str) -> jnp.ndarray:
@@ -92,6 +92,72 @@ def pad2d(
 
 # Back-compat name used around the codebase.
 pad_ring = pad2d
+
+
+def conv3x3_ring_fast(x: jnp.ndarray, w: jnp.ndarray, stride=(1, 1)) -> jnp.ndarray:
+    """3x3 conv with circular-W / replicate-H padding 1, WITHOUT the padded copy.
+
+    Exactly equals (up to fp reassociation)
+        lax.conv_valid(pad2d(x, 1, ring=True, mode="replicate"), w, stride)
+    for stride (1,1) or (2,2) with even H, W. The concat-based pre-pad materializes
+    a full copy of the activation per conv — measured at 29% of the dusty_v2
+    discriminator's fwd+bwd (scripts/bench_ringpad.py). Here the conv runs with its
+    own fused zero padding and the wrap/replicate contributions are added back as
+    boundary corrections: per affected output row/column, a (O,I,3)x(B,I,3,N)
+    einsum over the corresponding input edge line.
+
+    Pad-cell accounting (each padded-copy cell counted exactly once): the wrap
+    columns own the four corners (their H-replicate extension), the replicate
+    rows are zero-extended at the corners. At stride 2 (even W, H) the right/bottom
+    pad cells are never read by any output, so only the left/top corrections exist.
+
+    x: (B, I, H, W); w: (O, I, 3, 3) — already LR-scaled; returns (B, O, oH, oW).
+    """
+    B, I, H, W = x.shape
+    s = int(stride[0])
+    assert stride[1] == stride[0] and s in (1, 2) and w.shape[-2:] == (3, 3)
+    if s == 2:
+        assert H % 2 == 0 and W % 2 == 0, (H, W)
+    y = lax.conv_general_dilated(
+        x, w, (s, s), ((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    oH, oW = y.shape[2], y.shape[3]
+
+    def line_corr(line, taps, n_out, replicate_ends):
+        # line (B,I,N): the input edge line; taps (O,I,3): the kernel column/row
+        # facing the pad; -> (B,O,n_out) correction for the single affected output
+        # row/column. Ends extend by replication (wrap columns) or zeros
+        # (replicate rows — their corners belong to the column corrections).
+        if replicate_ends:
+            lo, hi = line[:, :, :1], line[:, :, -1:]
+        else:
+            lo = hi = jnp.zeros_like(line[:, :, :1])
+        ext = jnp.concatenate([lo, line, hi], axis=2)
+        sl = jnp.stack(
+            [ext[:, :, t : t + s * (n_out - 1) + 1 : s] for t in range(3)], axis=2
+        )
+        return jnp.einsum("oit,bitn->bon", taps, sl)
+
+    zero = jnp.zeros((), y.dtype)
+    d_left = line_corr(x[:, :, :, W - 1], w[:, :, :, 0], oH, True)
+    d_top = line_corr(x[:, :, 0, :], w[:, :, 0, :], oW, False)
+    corr = lax.pad(d_left[:, :, :, None], zero, [(0, 0, 0)] * 3 + [(0, oW - 1, 0)])
+    corr = corr + lax.pad(
+        d_top[:, :, None, :], zero, [(0, 0, 0), (0, 0, 0), (0, oH - 1, 0), (0, 0, 0)]
+    )
+    if s == 1:
+        d_right = line_corr(x[:, :, :, 0], w[:, :, :, 2], oH, True)
+        d_bot = line_corr(x[:, :, H - 1, :], w[:, :, 2, :], oW, False)
+        corr = corr + lax.pad(
+            d_right[:, :, :, None], zero, [(0, 0, 0)] * 3 + [(oW - 1, 0, 0)]
+        )
+        corr = corr + lax.pad(
+            d_bot[:, :, None, :],
+            zero,
+            [(0, 0, 0), (0, 0, 0), (oH - 1, 0, 0), (0, 0, 0)],
+        )
+    return y + corr
 
 
 def _depthwise_conv_1d(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:

@@ -63,8 +63,34 @@ def frechet(a: np.ndarray, b: np.ndarray) -> float:
     return float(((mu_a - mu_b) ** 2).sum() + np.trace(ca) + np.trace(cb) - 2 * tr_sqrt)
 
 
+def _full_cfg(res, batch, seed, dtype):
+    """The shipped 64x512 dusty_v2 training config, pointed at synthetic data.
+
+    Differences from configs/gans/dusty_v2.yaml: batch/total_kimg for a short run,
+    warmup fade off (it would span the whole smoke), ema_kimg shortened so G_ema
+    actually tracks within the run.
+    """
+    from dusty_gan_v2_tpu.utils.config import load_config
+
+    cfg = load_config("configs/gans/dusty_v2.yaml")
+    cfg.dataset.name = "synthetic"
+    cfg.training.random_seed = seed
+    cfg.training.batch_size = batch
+    cfg.training.total_kimg = 10_000
+    cfg.training.ema_kimg = 20
+    cfg.training.ema_rampup = 0.05
+    cfg.training.warmup.fade_kimg = 0
+    cfg.training.warmup.blur_init_sigma = 0
+    cfg.training.warmup.dropout_init_ratio = 0.0
+    cfg.model.generator.synthesis_kwargs.resolution = list(res)
+    cfg.model.discriminator.layer_kwargs.resolution = list(res)
+    cfg.model.generator.compute_dtype = dtype
+    cfg.model.discriminator.layer_kwargs.compute_dtype = dtype
+    return cfg
+
+
 def run(steps: int, out_csv, res=(16, 64), batch=8, seed=0, log_every=10,
-        n_eval=128, dtype="float32"):
+        n_eval=128, dtype="float32", full=False):
     import jax
     import jax.numpy as jnp
 
@@ -72,7 +98,7 @@ def run(steps: int, out_csv, res=(16, 64), batch=8, seed=0, log_every=10,
     from dusty_gan_v2_tpu.training import Trainer
     from dusty_gan_v2_tpu.utils.config import Config
 
-    cfg = Config(
+    cfg = _full_cfg(res, batch, seed, dtype) if full else Config(
         {
             "dataset": {"name": "synthetic", "min_depth": 1.45, "max_depth": 80,
                         "raydrop_const": -1},
@@ -187,8 +213,17 @@ def main():
     p.add_argument("--dtype", default="float32",
                    help="compute dtype policy for G and D (bfloat16 validates the "
                         "mixed-precision training recipe; see BASELINE.md)")
+    p.add_argument("--full", action="store_true",
+                   help="run the shipped full-size 64x512 dusty_v2 config (bf16 "
+                        "B=128 recipe scale) instead of the tiny 16x64 model")
+    p.add_argument("--batch", type=int, default=None)
     args = p.parse_args()
-    fd_init, fd_final = run(args.steps, args.out, dtype=args.dtype)
+    kw = {}
+    if args.full:
+        kw = dict(res=(64, 512), batch=args.batch or 128, full=True, log_every=25)
+    elif args.batch:
+        kw["batch"] = args.batch
+    fd_init, fd_final = run(args.steps, args.out, dtype=args.dtype, **kw)
     if not fd_final < 0.5 * fd_init:
         print("FAIL: generated distribution did not move toward the data")
         sys.exit(1)
