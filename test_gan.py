@@ -72,7 +72,14 @@ def main():
     pointnet_params = None
     if need_feats:
         assert args.pointnet_ckpt, "--pointnet_ckpt required for fpd/kpd"
-        pointnet_params = load_torch_state_dict(args.pointnet_ckpt)
+        if args.pointnet_ckpt == "random":
+            # pipeline/timing runs without the SpareNet release file (zero-egress
+            # environments): feature VALUES are meaningless, wall-clock is real
+            from dusty_gan_v2_tpu.metrics import init_pointnet_params
+
+            pointnet_params = init_pointnet_params(jax.random.PRNGKey(0))
+        else:
+            pointnet_params = load_torch_state_dict(args.pointnet_ckpt)
 
     # deterministic gumbel: fixed logistic noise shared across samples
     # (test_gan.py:96-100 semantics: hard threshold logits + noise > 0)
