@@ -183,7 +183,15 @@ class KITTIRaw:
         flip: bool = False,
         scan_unfolding: bool = True,
         prune_missing: bool = False,
+        cache: Optional[str] = None,
     ):
+        """cache="ram" memoizes the projected+resized frames (deterministic work:
+        scan unfold, z-buffer, resize, masking; the stochastic flip stays
+        per-access). The reference re-projects on every access
+        (gans/datasets/kitti.py:265-270) — fine with many loader processes, but on
+        few-core hosts the projection starves the accelerator once frames repeat
+        (~0.8 MB/frame at 64x512, ~15 GB for the full 19k-frame train split: size
+        the host RAM accordingly, or leave off)."""
         assert split in ("train", "val", "test")
         self.root = Path(root)
         self.split = split
@@ -192,6 +200,7 @@ class KITTIRaw:
         self.max_depth = max_depth
         self.flip = flip
         self.scan_unfolding = scan_unfolding
+        self._cache: Optional[Dict[int, np.ndarray]] = {} if cache == "ram" else None
         self.datalist: List[str] = []
 
         if split in ("train", "val"):
@@ -221,27 +230,32 @@ class KITTIRaw:
         return len(self.datalist)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        pts = np.fromfile(self.datalist[index], dtype=np.float32).reshape(-1, 4)
-        img = None
-        try:  # native C++ fast path (csrc/projection.cpp); numpy fallback below
-            from .native import project_points_to_image_native
-
-            img = project_points_to_image_native(
-                pts, 64, 2048, self.min_depth, self.max_depth, self.scan_unfolding
-            )
-        except Exception:
+        if self._cache is not None and index in self._cache:
+            img = self._cache[index]
+        else:
+            pts = np.fromfile(self.datalist[index], dtype=np.float32).reshape(-1, 4)
             img = None
-        if img is None:
-            img = project_points_to_image(
-                pts,
-                H=64,
-                W=2048,
-                min_depth=self.min_depth,
-                max_depth=self.max_depth,
-                scan_unfolding=self.scan_unfolding,
-            )
-        img = nearest_resize_hw(img, self.shape)
-        img = img * img[..., 5:6]  # zero out invalid cells in every channel
+            try:  # native C++ fast path (csrc/projection.cpp); numpy fallback below
+                from .native import project_points_to_image_native
+
+                img = project_points_to_image_native(
+                    pts, 64, 2048, self.min_depth, self.max_depth, self.scan_unfolding
+                )
+            except Exception:
+                img = None
+            if img is None:
+                img = project_points_to_image(
+                    pts,
+                    H=64,
+                    W=2048,
+                    min_depth=self.min_depth,
+                    max_depth=self.max_depth,
+                    scan_unfolding=self.scan_unfolding,
+                )
+            img = nearest_resize_hw(img, self.shape)
+            img = img * img[..., 5:6]  # zero out invalid cells in every channel
+            if self._cache is not None:
+                self._cache[index] = img
         if self.flip and np.random.rand() > 0.5:
             img = img[:, ::-1]
         chw = np.ascontiguousarray(img.transpose(2, 0, 1))

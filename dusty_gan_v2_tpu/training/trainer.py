@@ -51,9 +51,16 @@ def _shard_map(f, mesh, in_specs, out_specs):
 
 def fetch_reals(batch, min_depth, max_depth, raydrop_const):
     """depth (m) + mask -> tanh-scaled inv-depth-norm with dropped rays filled
-    (reference trainer.py:211-217)."""
-    depth = batch["depth"]
-    mask = batch["mask"]
+    (reference trainer.py:211-217).
+
+    The mask may be omitted: KITTIRaw zeroes every channel outside the mask, so
+    mask == (depth > 0) exactly — train_gan ships only the depth plane to halve
+    the host->device bytes (the tunnel-attached TPU is upload-bound; BASELINE.md).
+    Depth may also arrive float16 (`dataset.upload_dtype`); compute stays f32."""
+    depth = batch["depth"].astype(jnp.float32)
+    mask = (
+        batch["mask"] if "mask" in batch else (depth > 0.0).astype(jnp.float32)
+    )
     valid = ((depth >= min_depth) & (depth <= max_depth) & (depth > 0.0)).astype(
         depth.dtype
     )
@@ -241,7 +248,11 @@ class Trainer:
                 blur_kernel if has_blur else None,
             )
 
-        def step_fn(state, batch, rng, ema_decay, dropout_ratio, blur_kernel):
+        def step_fn(state, batch, rng, it, ema_decay, dropout_ratio, blur_kernel):
+            # per-iteration fold happens INSIDE the jit: an eager host-side
+            # fold_in costs a remote dispatch round-trip per iteration on
+            # tunnel-attached TPUs (same values as the former host fold)
+            rng = jax.random.fold_in(rng, it)
             rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
             keys = jax.random.split(rng, 16)
             metrics = {}
@@ -411,7 +422,7 @@ class Trainer:
         sharded = _shard_map(
             step_fn,
             self.mesh,
-            in_specs=(P(), P(DATA_AXIS), P(), P(), P(), P()),
+            in_specs=(P(), P(DATA_AXIS), P(), P(), P(), P(), P()),
             out_specs=(P(), P()),
         )
         return jax.jit(sharded, donate_argnums=(0,))
@@ -426,20 +437,24 @@ class Trainer:
         return self._step_cache[key], do_pl, do_r1, do_ada
 
     def step(self, state: GANTrainState, batch, rng, iteration: int):
-        """One full training iteration (host entry point)."""
+        """One full training iteration (host entry point).
+
+        `rng` is the RUN key (constant across iterations; the per-iteration
+        fold_in happens inside the jit). All host-varying inputs are numpy
+        scalars/arrays — eager jnp ops here would each cost a remote dispatch
+        round-trip per iteration on tunnel-attached TPUs."""
         fn, *_ = self.get_step_fn(iteration)
         blur_sigma, dropout_ratio = self.warmup_params(iteration)
         blur_kernel = make_blur_kernel(blur_sigma, self.blur_init_sigma)
         if blur_kernel is None:
-            blur_kernel = jnp.zeros((1,))  # unused placeholder
-        else:
-            blur_kernel = jnp.asarray(blur_kernel)
+            blur_kernel = np.zeros((1,), np.float32)  # unused placeholder
         return fn(
             state,
             batch,
             rng,
-            jnp.asarray(self.ema_decay(iteration), jnp.float32),
-            jnp.asarray(dropout_ratio, jnp.float32),
+            np.uint32(iteration),
+            np.float32(self.ema_decay(iteration)),
+            np.float32(dropout_ratio),
             blur_kernel,
         )
 

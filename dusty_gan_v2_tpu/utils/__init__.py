@@ -61,10 +61,16 @@ def points_to_normal_2d(points_map, mode="closest", d=2):
 
 
 def power_spectrum_2d(x):
-    """10*log10 |FFT2|^2 with DC centered, forward normalization."""
-    spec = jnp.fft.fft2(x, norm="forward")
-    spec = jnp.fft.fftshift(spec, axes=(-1, -2))
-    return 10.0 * jnp.log10(jnp.abs(spec) ** 2 + 1e-24)
+    """10*log10 |FFT2|^2 with DC centered, forward normalization.
+
+    Host-side numpy on purpose: this is a rank-0 TensorBoard panel on a handful of
+    images, and FFT is UNIMPLEMENTED on the TPU backend — a jnp.fft version crashes
+    train_gan's logging path on real hardware (found r2 driving the CLI on-chip).
+    """
+    x = np.asarray(x)
+    spec = np.fft.fft2(x, norm="forward")
+    spec = np.fft.fftshift(spec, axes=(-1, -2))
+    return 10.0 * np.log10(np.abs(spec) ** 2 + 1e-24)
 
 
 def masked_loss(img_ref, img_gen, mask, distance="l1"):

@@ -184,7 +184,7 @@ def run(steps: int, out_csv, res=(16, 64), batch=8, seed=0, log_every=10,
         batch_np = make_synthetic_batch(rng, batch, res)
         state, metrics = t.step(
             state, {k: jnp.asarray(v) for k, v in batch_np.items()},
-            jax.random.fold_in(jax.random.PRNGKey(1), i), i,
+            jax.random.PRNGKey(1), i,  # per-iteration fold happens in-jit
         )
         if i % log_every == 0 or i == 1:
             rows.append({"step": i, **{k: float(v) for k, v in metrics.items()}})

@@ -1,6 +1,7 @@
 """Dataset tests: scan unfolding, z-buffering, sampler semantics — against a literal
 python formulation of the reference algorithm (kitti.py:216-370) as oracle."""
 
+import os
 import numpy as np
 import pytest
 
@@ -128,6 +129,30 @@ class TestKITTIRaw:
         assert set(np.unique(item["mask"])).issubset({0.0, 1.0})
         # masked cells are zero in all channels
         assert (item["depth"][item["mask"] == 0] == 0).all()
+
+    def test_ram_cache_identical(self, tmp_path):
+        """cache="ram" returns byte-identical frames and skips the reload."""
+        seq = "2011_09_30_drive_0028_sync"
+        d = tmp_path / seq[:10] / seq / "velodyne_points" / "data"
+        d.mkdir(parents=True)
+        for i in range(1100, 1102):
+            synthetic_scan(H=16, W=64).tofile(d / f"{i:010d}.bin")
+        kw = dict(root=str(tmp_path), split="val", shape=(16, 128),
+                  min_depth=1.45, max_depth=80.0)
+        plain = KITTIRaw(**kw)
+        cached = KITTIRaw(cache="ram", **kw)
+        for idx in (0, 1, 0):
+            a, b = plain[idx], cached[idx]
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+        assert set(cached._cache) == {0, 1}
+        # cache hit must not touch the file again
+        os.rename(cached.datalist[0], cached.datalist[0] + ".gone")
+        try:
+            item = cached[0]
+            assert item["depth"].shape == (1, 16, 128)
+        finally:
+            os.rename(cached.datalist[0] + ".gone", cached.datalist[0])
 
 
 class TestInfiniteSampler:

@@ -154,6 +154,30 @@ class TestTrainStep:
         assert "loss/G/path_length" in metrics_all[2]
         assert "stats/ada_rt" in metrics_all[2]
 
+    def test_fetch_reals_maskless_matches(self):
+        """Depth-only batches (upload-bandwidth path): mask == depth > 0 exactly
+        under the KITTIRaw contract (channels zeroed outside the mask), incl. a
+        float16-uploaded depth plane."""
+        from dusty_gan_v2_tpu.training.trainer import fetch_reals
+
+        rng = np.random.RandomState(3)
+        depth = rng.uniform(1.45, 80.0, (4, 1, 8, 32)).astype(np.float32)
+        mask = (rng.rand(4, 1, 8, 32) > 0.2).astype(np.float32)
+        depth = depth * mask  # the dataset contract
+        full = fetch_reals(
+            {"depth": jnp.asarray(depth), "mask": jnp.asarray(mask)}, 1.45, 80.0, -1.0
+        )
+        maskless = fetch_reals({"depth": jnp.asarray(depth)}, 1.45, 80.0, -1.0)
+        np.testing.assert_array_equal(np.asarray(full["image"]),
+                                      np.asarray(maskless["image"]))
+        np.testing.assert_array_equal(np.asarray(full["raydrop_mask"]),
+                                      np.asarray(maskless["raydrop_mask"]))
+        half = fetch_reals(
+            {"depth": jnp.asarray(depth.astype(np.float16))}, 1.45, 80.0, -1.0
+        )
+        assert half["image"].dtype == jnp.float32
+        assert float(jnp.abs(half["image"] - full["image"]).max()) < 1e-3
+
     def test_no_retrace_across_chained_steps(self, trainer_and_state):
         """State avals must be stable across a step: any weak_type / aval drift
         between init_state and step outputs makes the second chained step a jit
