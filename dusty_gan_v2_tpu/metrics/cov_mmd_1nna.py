@@ -73,13 +73,23 @@ def _pairwise_distance(pcs_1, pcs_2, batch_size, metrics=("cd",), verbose=True):
     mesh = make_mesh()
     n_dev = mesh.shape[DATA_AXIS]
     sharding = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
     chunk = max(n_dev, (batch_size // n_dev) * n_dev)
 
-    jitted = {m: jax.jit(_FNS[m]) for m in metrics}
+    # both point sets live on device ONCE (replicated); each chunk ships only its
+    # (chunk,) index vectors and gathers on-device. Re-uploading the gathered
+    # pairs per chunk moved ~50x the data (e.g. 38 GB for a 512^2x3 CD run, 1344 s
+    # through the tunnel-attached TPU -> ~30 s). Results stay on device until the
+    # end so the dispatch pipeline never blocks on a per-chunk download.
+    jitted = {
+        m: jax.jit(lambda pa, pb, ii, jj, f=_FNS[m]: f(pa[ii], pb[jj]))
+        for m in metrics
+    }
     out = {m: np.zeros((B1, B2), np.float32) for m in metrics}
-    p1 = np.asarray(pcs_1)
-    p2 = np.asarray(pcs_2)
+    p1 = jax.device_put(np.asarray(pcs_1), repl)
+    p2 = jax.device_put(np.asarray(pcs_2), repl)
     total = B1 * B2
+    pending = []
     for start in range(0, total, chunk):
         idx = np.arange(start, min(start + chunk, total))
         valid = len(idx)
@@ -87,11 +97,12 @@ def _pairwise_distance(pcs_1, pcs_2, batch_size, metrics=("cd",), verbose=True):
         if pad:
             idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
         ii, jj = idx // B2, idx % B2
-        b1 = jax.device_put(p1[ii], sharding)
-        b2 = jax.device_put(p2[jj], sharding)
+        ii_d = jax.device_put(ii, sharding)
+        jj_d = jax.device_put(jj, sharding)
         for m in metrics:
-            vals = np.asarray(jitted[m](b1, b2))[:valid]
-            out[m][ii[:valid], jj[:valid]] = vals
+            pending.append((m, ii, jj, valid, jitted[m](p1, p2, ii_d, jj_d)))
+    for m, ii, jj, valid, vals in pending:
+        out[m][ii[:valid], jj[:valid]] = np.asarray(vals)[:valid]
     return out
 
 

@@ -161,8 +161,19 @@ def main():
             feats.append(np.asarray(f))
         return (np.concatenate(imgs), np.concatenate(pts), np.concatenate(feats))
 
+    import time as _time
+
+    stage_t = _time.time()
+
+    def stage(name):
+        nonlocal stage_t
+        now = _time.time()
+        print(f"[t] {name}: {now - stage_t:.1f}s")
+        stage_t = now
+
     print("generating", args.num_samples, "samples...")
     gen_imgs, gen_pts, gen_feats = collect_gen(args.num_samples)
+    stage(f"generate+features+fps x{args.num_samples}")
 
     need_test = any(m in metrics for m in ("swd", "jsd")) or any(
         m.startswith("1nna") for m in metrics
@@ -170,13 +181,17 @@ def main():
     need_train = need_feats
     test_data = collect_real("test") if need_test else None
     train_data = collect_real("train") if need_train else None
+    if need_test or need_train:
+        stage("real data collection")
 
     N_sub = args.num_subsample
     scores = {}
     if "swd" in metrics:
         scores.update(compute_swd(gen_imgs[:N_sub], test_data[0][:N_sub]))
+        stage("swd")
     if "jsd" in metrics:
         scores["jsd"] = compute_jsd(gen_pts[:N_sub] / 2.0, test_data[1][:N_sub] / 2.0)
+        stage("jsd")
     for m in metrics:
         if m.startswith("1nna"):
             dist = m.split("-")[1]
@@ -186,10 +201,13 @@ def main():
                     batch_size=args.pairwise_batch, metrics=(dist,),
                 )
             )
+            stage(m)
     if "fpd" in metrics:
         scores["fpd"] = compute_frechet_distance(gen_feats, train_data[2])
+        stage("fpd")
     if "kpd" in metrics:
         scores["kpd"] = compute_squared_mmd(gen_feats, train_data[2]) * 1000.0
+        stage("kpd")
 
     for k, v in sorted(scores.items()):
         print(f"{k:>30}: {v}")
