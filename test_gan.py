@@ -122,7 +122,11 @@ def main():
         small = downsample_point_clouds(pts, num_points)
         return inv, small, feats
 
-    def collect_gen(n):
+    def collect_gen(n, keep_imgs_pts):
+        """Generate n samples; download features for ALL (FPD/KPD need the full
+        set) but images/point-clouds only for the first `keep_imgs_pts` — that is
+        all SWD/JSD/1-NNA ever read (num_subsample), and the full-set downloads
+        dominated the stage on tunnel-attached TPUs (~20 MB/batch, 930 s at 50k)."""
         imgs, pts, feats = [], [], []
         rng = jax.random.PRNGKey(args.seed)
         done = 0
@@ -133,13 +137,14 @@ def main():
             z = jax.device_put(jax.random.normal(k, (b, z_dim)), batch_sharding)
             img = generate(z)
             i, p, f = to_outputs(img)
-            imgs.append(np.asarray(i))
-            pts.append(np.asarray(p))
+            if done < keep_imgs_pts:
+                imgs.append(np.asarray(i))
+                pts.append(np.asarray(p))
             feats.append(np.asarray(f))
             done += b
         # the divisibility round-up can overshoot; trim to exactly n
-        return (np.concatenate(imgs)[:n], np.concatenate(pts)[:n],
-                np.concatenate(feats)[:n])
+        cat = lambda xs: np.concatenate(xs)[:n] if xs else np.zeros((0,))
+        return cat(imgs), cat(pts), cat(feats)
 
     def collect_real(split):
         root = args.dataset_root or cfg.dataset.root
@@ -172,7 +177,12 @@ def main():
         stage_t = now
 
     print("generating", args.num_samples, "samples...")
-    gen_imgs, gen_pts, gen_feats = collect_gen(args.num_samples)
+    need_imgs_pts = any(m in metrics for m in ("swd", "jsd")) or any(
+        m.startswith("1nna") for m in metrics
+    )
+    gen_imgs, gen_pts, gen_feats = collect_gen(
+        args.num_samples, args.num_subsample if need_imgs_pts else 0
+    )
     stage(f"generate+features+fps x{args.num_samples}")
 
     need_test = any(m in metrics for m in ("swd", "jsd")) or any(
