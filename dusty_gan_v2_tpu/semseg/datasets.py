@@ -38,6 +38,7 @@ class KITTIRawFrontal:
         max_depth=80.0,
         flip=False,
         omit_cyclist=False,
+        cache: Optional[str] = None,
     ):
         assert split in ("all", "train", "val")
         self.root = Path(root)
@@ -45,6 +46,7 @@ class KITTIRawFrontal:
         self.shape = tuple(shape)
         self.flip = flip
         self.omit_cyclist = omit_cyclist
+        self._cache = {} if cache == "ram" else None
         setlist = self.root / "ImageSet" / f"{split}.txt"
         assert setlist.exists(), setlist
         with open(setlist) as f:
@@ -58,8 +60,15 @@ class KITTIRawFrontal:
         return self.CLASS_LIST[:3] if self.omit_cyclist else self.CLASS_LIST
 
     def __getitem__(self, index):
-        pts = np.load(self.root / "lidar_2d" / self.datalist[index])  # (64,512,6)
-        pts = nearest_resize_hw(pts.astype(np.float32), self.shape)
+        # cache="ram" memoizes the deterministic load+resize; everything
+        # stochastic (flip) stays per-access
+        if self._cache is not None and index in self._cache:
+            pts = self._cache[index]
+        else:
+            pts = np.load(self.root / "lidar_2d" / self.datalist[index])  # (64,512,6)
+            pts = nearest_resize_hw(pts.astype(np.float32), self.shape)
+            if self._cache is not None:
+                self._cache[index] = pts
         chw = pts.transpose(2, 0, 1).copy()
         mask = (chw[4] > 0).astype(np.float32)
         chw[:-1] *= mask[None]
@@ -82,11 +91,22 @@ class KITTIRawFrontal:
 class _GTABase:
     CLASS_LIST = ("unknown", "car", "pedestrian")
 
-    def __init__(self, root, shape, flip):
+    def __init__(self, root, shape, flip, cache=None):
         self.root = Path(root)
         self.shape = tuple(shape)
         self.flip = flip
         self.datalist = sorted((self.root / "GTAV").glob("*/*.npy"))
+        # cache="ram" memoizes the deterministic load+resize (and GAN drop maps);
+        # the Bernoulli ray-drop / flip stay stochastic per access
+        self._cache = {} if cache == "ram" else None
+
+    def _load_resized(self, key, path):
+        if self._cache is not None and key in self._cache:
+            return self._cache[key]
+        pts = nearest_resize_hw(np.load(path).astype(np.float32), self.shape)
+        if self._cache is not None:
+            self._cache[key] = pts
+        return pts
 
     def __len__(self):
         return len(self.datalist)
@@ -96,7 +116,6 @@ class _GTABase:
         return self.CLASS_LIST
 
     def _finish(self, pts, dropout_map):
-        pts = nearest_resize_hw(pts.astype(np.float32), self.shape)
         chw = pts.transpose(2, 0, 1).copy()  # (5,H,W): x,y,z,depth,label
         mask = (chw[3] > 0).astype(np.float32)
         if dropout_map is not None:
@@ -120,9 +139,9 @@ class _GTABase:
 class GTALiDAR(_GTABase):
     def __init__(self, root="data/kitti_raw_frontal", split="all",
                  shape=(64, 512), min_depth=1.45, max_depth=80.0, flip=False,
-                 raydrop_p: Optional[np.ndarray] = None):
+                 raydrop_p: Optional[np.ndarray] = None, cache=None):
         assert split == "all"
-        super().__init__(root, shape, flip)
+        super().__init__(root, shape, flip, cache)
         if raydrop_p is None:
             self.dropout_map = np.ones(shape, np.float32)
         else:
@@ -130,18 +149,25 @@ class GTALiDAR(_GTABase):
             self.dropout_map = raydrop_p.astype(np.float32)
 
     def __getitem__(self, index):
-        return self._finish(np.load(self.datalist[index]), self.dropout_map)
+        return self._finish(
+            self._load_resized(index, self.datalist[index]), self.dropout_map
+        )
 
 
 class GTALiDAR_GAN(_GTABase):
     def __init__(self, root="data/kitti_raw_frontal", split="all",
                  shape=(64, 512), min_depth=1.45, max_depth=80.0, flip=False,
-                 gan_dir="GTAV_noise"):
+                 gan_dir="GTAV_noise", cache=None):
         assert split == "all"
-        super().__init__(root, shape, flip)
+        super().__init__(root, shape, flip, cache)
         self.gan_dir = gan_dir
 
     def __getitem__(self, index):
         path = self.datalist[index]
-        noise = np.load(str(path).replace("GTAV", self.gan_dir)).astype(np.float32)
-        return self._finish(np.load(path), noise)
+        if self._cache is not None and ("n", index) in self._cache:
+            noise = self._cache[("n", index)]
+        else:
+            noise = np.load(str(path).replace("GTAV", self.gan_dir)).astype(np.float32)
+            if self._cache is not None:
+                self._cache[("n", index)] = noise
+        return self._finish(self._load_resized(index, path), noise)

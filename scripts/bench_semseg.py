@@ -35,7 +35,7 @@ def main():
     from dusty_gan_v2_tpu.training.trainer import _shard_map
     from dusty_gan_v2_tpu.semseg import cross_entropy, focal_loss, masked_seg_loss
     from dusty_gan_v2_tpu.utils.config import load_config
-    from train_semseg import MODALITY_CH, build_model, make_inputs
+    from train_semseg import MODALITY_CH, build_model
 
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -92,26 +92,42 @@ def main():
             pl = cross_entropy(logit, label, cls_weight)
         return masked_seg_loss(pl, mask) * coef
 
-    # the exact production step wrapping from train_semseg.py:212-244
-    # (shard_map over the mesh + donation); on 1 device the pmeans are identity
-    def step_fn(params, batch_stats, opt_state, batch, rng):
+    # the exact production step wrapping from train_semseg.py (shard_map over the
+    # mesh + donation + on-device confusion); on 1 device the pmeans are identity
+    from train_semseg import confusion_device
+
+    def step_fn(params, batch_stats, opt_state, batch, rng, it):
+        rng = jax.random.fold_in(rng, it)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        xyz = batch["xyz"].astype(jnp.float32)
+        mask = batch["mask"].astype(jnp.float32)
+        label = batch["label"].astype(jnp.int32)
+        inputs = jnp.concatenate(
+            [batch[m].astype(jnp.float32) for m in modalities], axis=1
+        )
 
         def loss_fn(p):
             out, mut = model.apply(
                 {"params": p, "batch_stats": batch_stats},
-                batch["inputs"], batch["xyz"], batch["mask"],
+                inputs, xyz, mask,
                 train=True, mutable=["batch_stats"], rngs={"dropout": rng},
             )
-            loss = loss_of(out, batch["label"], batch["mask"])
-            return loss, mut.get("batch_stats", {})
+            loss = loss_of(out, label, mask)
+            return loss, (mut.get("batch_stats", {}), out)
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, (new_stats, logit)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
         grads = jax.lax.pmean(grads, DATA_AXIS)
         new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
         updates, new_opt = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, new_stats, new_opt, jax.lax.pmean(loss, DATA_AXIS)
+        pred = jnp.argmax(logit, axis=1)
+        lm = (label * mask).astype(jnp.int32)
+        pm = (pred.astype(jnp.float32) * mask).astype(jnp.int32)
+        num_classes_ = logit.shape[1]
+        conf = jax.lax.psum(confusion_device(lm, pm, num_classes_), DATA_AXIS)
+        return params, new_stats, new_opt, jax.lax.pmean(loss, DATA_AXIS), conf
 
     mesh = make_mesh(jax.devices()[:1])
     # commit state to the mesh (replicated), as train_semseg.py does: the step's
@@ -123,8 +139,8 @@ def main():
     step = jax.jit(
         _shard_map(
             step_fn, mesh,
-            in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
-            out_specs=(P(), P(), P(), P()),
+            in_specs=(P(), P(), P(), P(DATA_AXIS), P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
         ),
         donate_argnums=() if args.no_donate else (0, 1, 2),
     )
@@ -133,22 +149,19 @@ def main():
     depth = rng.uniform(2.0, 79.0, (B, 1, H, W)).astype(np.float32)
     xyz = rng.randn(B, 3, H, W).astype(np.float32)
     mask = (rng.rand(B, H, W) > 0.1).astype(np.float32)
-    item = {
+    batch = {
         "xyz": jnp.asarray(xyz),
         "depth": jnp.asarray(depth),
-        "mask": jnp.asarray(mask[:, None]),
-    }
-    batch = {
-        "inputs": make_inputs(item, modalities),
-        "xyz": jnp.asarray(xyz),
         "label": jnp.asarray(
-            rng.randint(0, num_classes, (B, H, W)).astype(np.int32)
+            rng.randint(0, num_classes, (B, H, W)).astype(np.uint8)
         ),
-        "mask": jnp.asarray(mask),
+        "mask": jnp.asarray(mask.astype(np.uint8)),
     }
+    batch = {k: v for k, v in batch.items()
+             if k in modalities or k in ("xyz", "label", "mask")}
 
-    params, batch_stats, opt_state, loss = step(
-        params, batch_stats, opt_state, batch, jax.random.PRNGKey(1)
+    params, batch_stats, opt_state, loss, _conf = step(
+        params, batch_stats, opt_state, batch, jax.random.PRNGKey(1), np.uint32(0)
     )
     jax.block_until_ready(loss)
 
@@ -156,8 +169,8 @@ def main():
     enq = []
     for i in range(args.iters):
         te = time.perf_counter()
-        params, batch_stats, opt_state, loss = step(
-            params, batch_stats, opt_state, batch, jax.random.PRNGKey(2 + i)
+        params, batch_stats, opt_state, loss, _conf = step(
+            params, batch_stats, opt_state, batch, jax.random.PRNGKey(2), np.uint32(2 + i)
         )
         enq.append(round(1e3 * (time.perf_counter() - te), 1))
     jax.block_until_ready(loss)
@@ -167,7 +180,7 @@ def main():
     flops = 0.0
     try:
         lowered = step.lower(
-            params, batch_stats, opt_state, batch, jax.random.PRNGKey(0)
+            params, batch_stats, opt_state, batch, jax.random.PRNGKey(0), np.uint32(0)
         )
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):

@@ -124,6 +124,30 @@ class TestSqueezeSegV2Parity:
         out = jm.apply(variables, x, xyz, mask)
         assert out.shape == (1, 3, 16, 64)
 
+    def test_confusion_device_matches_host(self):
+        """On-device (3,C) confusion counts == the host evaluate_confusion loop
+        (mask-zeroed labels/preds, reference test_semseg.py:23-42 semantics)."""
+        import importlib.util as ilu
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = ilu.spec_from_file_location("ts_cli", os.path.join(repo, "train_semseg.py"))
+        mod = ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        C = 4
+        label = RNG.randint(0, C, (3, 8, 16)).astype(np.int32)
+        pred = RNG.randint(0, C, (3, 8, 16)).astype(np.int32)
+        mask = (RNG.rand(3, 8, 16) > 0.3).astype(np.float32)
+        lm = (label * mask).astype(np.int32)
+        pm = (pred * mask).astype(np.int32)
+        tps, fps, fns = mod.evaluate_confusion(lm, pm, C)
+        dev = np.asarray(
+            mod.confusion_device(jnp.asarray(lm), jnp.asarray(pm), C)
+        )
+        np.testing.assert_array_equal(dev[0], tps)
+        np.testing.assert_array_equal(dev[1], fps)
+        np.testing.assert_array_equal(dev[2], fns)
+
     def test_bf16_compute_policy(self):
         """bf16 trunk: same params, f32 logits/stats, output close to the f32 run."""
         x = jnp.asarray(RNG.randn(2, 1, 16, 64).astype(np.float32))
@@ -226,8 +250,12 @@ class TestSqueezeSegV2Parity:
             return optax.apply_updates(p, u), nst, o
 
         params, stats, opt = step(params, stats, opt, key)
+        n_after_first = step._cache_size()
         params, stats, opt = step(params, stats, opt, key)
-        assert step._cache_size() == 1
+        # delta form: the regression signal is the SECOND call retracing (state
+        # avals drifted across the step); absolute counts can flake under
+        # full-suite resource pressure
+        assert step._cache_size() == n_after_first
 
     def test_train_updates_bn(self):
         jm = SqueezeSegV2(inputs=("depth",), num_classes=3)

@@ -48,7 +48,8 @@ def make_inputs(item, modalities):
         if t.ndim == 3:
             t = t[:, None]
         parts.append(t)
-    return jnp.concatenate(parts, axis=1)
+    xp = np if isinstance(parts[0], np.ndarray) else jnp
+    return xp.concatenate(parts, axis=1)
 
 
 def build_dataset(cfg):
@@ -56,7 +57,7 @@ def build_dataset(cfg):
     flip = bool(cfg.dataset.random_flip)
     root = cfg.dataset.get("root", "data/kitti_raw_frontal")
     shape = tuple(cfg.dataset.shape)
-    kw = dict(root=root, shape=shape, flip=flip)
+    kw = dict(root=root, shape=shape, flip=flip, cache=cfg.dataset.get("cache"))
     if name == "kitti_raw_frontal":
         train = KITTIRawFrontal(split="train", **kw)
     elif name == "gta_lidar":
@@ -126,6 +127,22 @@ def evaluate_confusion(label, pred, num_classes):
         fps[c] = ((pred == c) & (label != c)).sum()
         fns[c] = ((pred != c) & (label == c)).sum()
     return tps, fps, fns
+
+
+def confusion_device(label, pred, num_classes):
+    """evaluate_confusion as on-device one-hot sums -> (3, C) [tp, fp, fn].
+
+    Keeps the IoU bookkeeping off the host: downloading the (B,H,W) pred every
+    step (~5 MB at the shipped config) and looping per class in numpy serialized
+    the train loop on tunnel-attached TPUs. Matches evaluate_confusion on
+    mask-zeroed labels/preds exactly (int counts in f32 are exact to 2^24)."""
+    P = jax.nn.one_hot(pred, num_classes, dtype=jnp.float32)
+    L = jax.nn.one_hot(label, num_classes, dtype=jnp.float32)
+    axes = tuple(range(P.ndim - 1))
+    tp = jnp.sum(P * L, axis=axes)
+    fp = jnp.sum(P, axis=axes) - tp
+    fn = jnp.sum(L, axis=axes) - tp
+    return jnp.stack([tp, fp, fn])
 
 
 def main():
@@ -219,17 +236,29 @@ def main():
             pl = cross_entropy(logit, label, cls_weight)
         return masked_seg_loss(pl, mask) * coef
 
-    def step_fn(params, batch_stats, opt_state, batch, rng):
+    def step_fn(params, batch_stats, opt_state, batch, rng, it):
+        # per-iteration fold happens in-jit (a host-side fold_in costs a remote
+        # dispatch round-trip per step on tunnel-attached TPUs)
+        rng = jax.random.fold_in(rng, it)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        # the host ships each modality ONCE (xyz was previously uploaded twice:
+        # inside `inputs` and again for the CRF) in compact dtypes; the input
+        # concat and dtype restoration happen here on device
+        xyz = batch["xyz"].astype(jnp.float32)
+        mask = batch["mask"].astype(jnp.float32)
+        label = batch["label"].astype(jnp.int32)
+        inputs = jnp.concatenate(
+            [batch[m].astype(jnp.float32) for m in modalities], axis=1
+        )
 
         def loss_fn(p):
             out, mut = model.apply(
                 {"params": p, "batch_stats": batch_stats},
-                batch["inputs"], batch["xyz"], batch["mask"],
+                inputs, xyz, mask,
                 train=True, mutable=["batch_stats"],
                 rngs={"dropout": rng},
             )
-            loss = loss_of(out, batch["label"], batch["mask"])
+            loss = loss_of(out, label, mask)
             return loss, (mut.get("batch_stats", {}), out)
 
         (loss, (new_stats, logit)), grads = jax.value_and_grad(
@@ -240,14 +269,18 @@ def main():
         new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
         updates, new_opt = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        # IoU bookkeeping on device: (3,C) counts instead of a (B,H,W) download
         pred = jnp.argmax(logit, axis=1)
-        return params, new_stats, new_opt, jax.lax.pmean(loss, DATA_AXIS), pred
+        lm = (label * mask).astype(jnp.int32)
+        pm = (pred.astype(jnp.float32) * mask).astype(jnp.int32)
+        conf = jax.lax.psum(confusion_device(lm, pm, num_classes), DATA_AXIS)
+        return params, new_stats, new_opt, jax.lax.pmean(loss, DATA_AXIS), conf
 
     sharded_step = jax.jit(
         _shard_map(
             step_fn, mesh,
-            in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
-            out_specs=(P(), P(), P(), P(), P(DATA_AXIS)),
+            in_specs=(P(), P(), P(), P(DATA_AXIS), P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
         ),
         donate_argnums=(0, 1, 2),
     )
@@ -271,27 +304,48 @@ def main():
     moving = deque(maxlen=100)
     ckpt_cfg = cfg.training.checkpoint
     t0 = time.time()
+
+    # host assembles numpy batches; DevicePrefetcher keeps 2 uploaded ahead so
+    # host->device transfer overlaps the running step (as in train_gan)
+    from dusty_gan_v2_tpu.datasets.kitti import DevicePrefetcher
+    from dusty_gan_v2_tpu.parallel import global_batch
+
+    # compact upload dtypes: label/mask as uint8 (exact), float modalities
+    # optionally float16 (`dataset.upload_dtype`; the step restores f32)
+    up_dtype = np.dtype(cfg.dataset.get("upload_dtype", "float32"))
+
+    def _assembled():
+        while True:
+            raw = next(loader)
+            out = {"xyz": raw["xyz"].astype(up_dtype, copy=False)}
+            for m in modalities:
+                if m == "xyz":
+                    continue
+                t = raw[m]
+                out[m] = (t if t.ndim == 4 else t[:, None]).astype(
+                    up_dtype, copy=False
+                )
+            out["label"] = raw["label"].astype(np.uint8)
+            out["mask"] = raw["mask"].astype(np.uint8)
+            yield out
+
+    dev_loader = DevicePrefetcher(_assembled(), lambda b: global_batch(mesh, b))
+
+    pending = []  # (loss, conf) device pairs; drained as ONE transfer per interval
     for step in range(1, steps_total + 1):
-        raw = next(loader)
-        batch = {
-            "inputs": make_inputs({k: jnp.asarray(v) for k, v in raw.items()}, modalities),
-            "xyz": jnp.asarray(raw["xyz"]),
-            "label": jnp.asarray(raw["label"].astype(np.int32)),
-            "mask": jnp.asarray(raw["mask"]),
-        }
-        params, batch_stats, opt_state, loss, pred = sharded_step(
-            params, batch_stats, opt_state, batch, jax.random.fold_in(key, step)
+        batch = next(dev_loader)
+        params, batch_stats, opt_state, loss, confd = sharded_step(
+            params, batch_stats, opt_state, batch, key, np.uint32(step)
         )
-        moving.append(float(loss))
+        pending.append((loss, confd))
 
-        label = raw["label"] * raw["mask"]
-        pred_np = np.asarray(pred) * raw["mask"]
-        tps, fps, fns = evaluate_confusion(label, pred_np, num_classes)
-        conf["tp"] += tps
-        conf["fp"] += fps
-        conf["fn"] += fns
-
-        if step % int(ckpt_cfg.stats) == 0:
+        if step % int(ckpt_cfg.stats) == 0 or step == steps_total:
+            for l, c in jax.device_get(pending):
+                moving.append(float(l))
+                conf["tp"] += c[0]
+                conf["fp"] += c[1]
+                conf["fn"] += c[2]
+            pending.clear()
             eps = 1e-12
             iou = conf["tp"] / (conf["tp"] + conf["fn"] + conf["fp"] + eps)
             writer.add_scalar("train/loss", float(np.mean(moving)), step)
@@ -305,23 +359,27 @@ def main():
         if step % int(ckpt_cfg.test) == 0 or step == steps_total:
             # validation
             vconf = defaultdict(lambda: np.zeros(num_classes))
-            eval_fn = jax.jit(
-                lambda p, s, x, xyz, m: jnp.argmax(
+
+            def _eval_conf(p, s, x, xyz, m, label):
+                pred = jnp.argmax(
                     model.apply({"params": p, "batch_stats": s}, x, xyz, m), axis=1
                 )
-            )
+                lm = (label * m).astype(jnp.int32)
+                pm = (pred.astype(jnp.float32) * m).astype(jnp.int32)
+                return confusion_device(lm, pm, num_classes)
+
+            eval_fn = jax.jit(_eval_conf)
+            vpending = []
             for vraw in Prefetcher(val_ds, batch_size, num_workers=args.num_workers):
-                vb = {k: jnp.asarray(v) for k, v in vraw.items()}
-                vpred = np.asarray(
-                    eval_fn(params, batch_stats, make_inputs(vb, modalities),
-                            vb["xyz"], vb["mask"])
-                )
-                vl = vraw["label"] * vraw["mask"]
-                vp = vpred * vraw["mask"]
-                tps, fps, fns = evaluate_confusion(vl, vp, num_classes)
-                vconf["tp"] += tps
-                vconf["fp"] += fps
-                vconf["fn"] += fns
+                vpending.append(eval_fn(
+                    params, batch_stats, make_inputs(vraw, modalities),
+                    jnp.asarray(vraw["xyz"]), jnp.asarray(vraw["mask"]),
+                    jnp.asarray(vraw["label"].astype(np.int32)),
+                ))
+            for c in jax.device_get(vpending):
+                vconf["tp"] += c[0]
+                vconf["fp"] += c[1]
+                vconf["fn"] += c[2]
             eps = 1e-12
             iou = vconf["tp"] / (vconf["tp"] + vconf["fn"] + vconf["fp"] + eps)
             writer.add_scalar("val/iou/mean", float(iou[1:].mean()), step)
