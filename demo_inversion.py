@@ -149,7 +149,9 @@ def main():
 
     for step in range(args.num_steps_1st):
         latent, phase, opt_state, loss = step1(
-            latent, phase, opt_state, jnp.asarray(sched(step), jnp.float32)
+            # numpy scalar: an eager jnp.asarray would cost one device round-trip
+            # per optimization step on tunnel-attached TPUs
+            latent, phase, opt_state, np.float32(sched(step))
         )
         if step % 100 == 0:
             print(f"[1] step {step:4d} loss {float(loss):.5f}")
