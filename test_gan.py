@@ -138,10 +138,13 @@ def main():
             img = generate(z)
             i, p, f = to_outputs(img)
             if done < keep_imgs_pts:
-                imgs.append(np.asarray(i))
-                pts.append(np.asarray(p))
-            feats.append(np.asarray(f))
+                imgs.append(i)
+                pts.append(p)
+            feats.append(f)
             done += b
+        # results stay on device until ONE drain: a per-batch np.asarray blocks
+        # the dispatch pipeline on every transfer round-trip
+        imgs, pts, feats = jax.device_get((imgs, pts, feats))
         # the divisibility round-up can overshoot; trim to exactly n
         cat = lambda xs: np.concatenate(xs)[:n] if xs else np.zeros((0,))
         return cat(imgs), cat(pts), cat(feats)
@@ -152,18 +155,24 @@ def main():
                       min_depth=cfg.dataset.min_depth, max_depth=cfg.dataset.max_depth,
                       prune_missing=bool(cfg.dataset.get("prune_missing", False)))
         imgs, pts, feats = [], [], []
-        for batch in Prefetcher(ds, args.batch_size, num_workers=4):
-            depth = jnp.asarray(batch["depth"])
-            mask = jnp.asarray(batch["mask"])
+
+        @jax.jit
+        def reals_to_outputs(depth, mask):
             x = coord.convert(depth, "depth", "inv_depth_norm")
             x = sigmoid_to_tanh(x)
             x = mask * x + (1 - mask) * float(
                 cfg.model.generator.measurement_kwargs.raydrop_const
             )
-            i, p, f = to_outputs(x)
-            imgs.append(np.asarray(i))
-            pts.append(np.asarray(p))
-            feats.append(np.asarray(f))
+            return to_outputs(x)
+
+        for batch in Prefetcher(ds, args.batch_size, num_workers=4):
+            i, p, f = reals_to_outputs(
+                jnp.asarray(batch["depth"]), jnp.asarray(batch["mask"])
+            )
+            imgs.append(i)
+            pts.append(p)
+            feats.append(f)
+        imgs, pts, feats = jax.device_get((imgs, pts, feats))
         return (np.concatenate(imgs), np.concatenate(pts), np.concatenate(feats))
 
     import time as _time
