@@ -102,20 +102,23 @@ def main():
                          shape=tuple(cfg.dataset.shape), omit_cyclist=True)
 
     @jax.jit
-    def predict(x, xyz, mask):
+    def predict(x, xyz, mask, depth):
         logit = model.apply({"params": params, "batch_stats": batch_stats}, x, xyz, mask)
         pred = jnp.argmax(logit, axis=1)
-        return jnp.where(pred == 3, 0, pred)  # omit cyclist (test_semseg.py:130)
+        pred = jnp.where(pred == 3, 0, pred)  # omit cyclist (test_semseg.py:130)
+        if args.knn_enabled:
+            # inside the jit: knn2d is a ~30-op elementwise chain, eager it costs
+            # a device round-trip per op per batch on tunnel-attached TPUs
+            pred = knn2d(
+                depth, pred, num_classes, k=args.knn_k,
+                kernel_size=(args.knn_kernel_size,) * 2,
+            )
+        return pred
 
     conf = defaultdict(lambda: np.zeros(num_classes))
     for raw in Prefetcher(ds, args.batch_size, num_workers=4):
         b = {k: jnp.asarray(v) for k, v in raw.items()}
-        pred = predict(make_inputs(b, modalities), b["xyz"], b["mask"])
-        if args.knn_enabled:
-            pred = knn2d(
-                b["depth"], pred, num_classes, k=args.knn_k,
-                kernel_size=(args.knn_kernel_size,) * 2,
-            )
+        pred = predict(make_inputs(b, modalities), b["xyz"], b["mask"], b["depth"])
         pred = np.asarray(pred) * raw["mask"]
         label = raw["label"] * raw["mask"]
         tps, fps, fns = evaluate_confusion(label, pred, num_classes)
