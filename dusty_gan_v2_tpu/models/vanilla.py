@@ -155,13 +155,18 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = pad2d(x, 1, ring=self.ring, mode="reflect")
+        # pad-free circular-W/reflect-H path when applicable (ops/pad.py)
+        fast = self.ring and x.shape[-1] % 2 == 0 and x.shape[-2] % 2 == 0
+        if not fast:
+            x = pad2d(x, 1, ring=self.ring, mode="reflect")
         x = EqualLRConv2d(
             in_ch=self.in_ch,
             out_ch=self.out_ch,
             kernel_size=(4, 4),
             stride=(2, 2),
             use_bias=False,
+            ring_fast=fast,
+            ring_fast_mode="reflect",
             name="conv",
         )(x)
         return FusedLeakyReLU(self.out_ch, name="act")(x)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .pad import conv3x3_ring_fast, pad2d
+from .pad import conv_ring_fast, pad2d
 
 __all__ = ["EqualLRDense", "EqualLRConv2d", "EqualLRConvTranspose2d", "RingConv2d"]
 
@@ -71,9 +71,10 @@ class EqualLRConv2d(nn.Module):
     use_bias: bool = True
     gain: float = 1.0
     lr_mul: float = 1.0
-    # pad-free circular-W/replicate-H 3x3 path (ops/pad.py::conv3x3_ring_fast);
+    # pad-free circular-W 3x3/4x4 path (ops/pad.py::conv_ring_fast);
     # input arrives UNPADDED when set
     ring_fast: bool = False
+    ring_fast_mode: str = "replicate"  # H pad mode of the fast path
 
     @nn.compact
     def __call__(self, x):
@@ -84,7 +85,9 @@ class EqualLRConv2d(nn.Module):
         scale = 1.0 / math.sqrt(self.in_ch * kh * kw)
         gain_ = self.gain * self.lr_mul
         if self.ring_fast:
-            y = conv3x3_ring_fast(x, (w * scale).astype(x.dtype), self.stride)
+            y = conv_ring_fast(
+                x, (w * scale).astype(x.dtype), self.stride, self.ring_fast_mode
+            )
         else:
             y = lax.conv_general_dilated(
                 x,
@@ -166,11 +169,12 @@ class RingConv2d(nn.Module):
         # replicate-H, stride 1 or 2 — the boundary corrections replace the full
         # padded-copy materialization (29% of D fwd+bwd, scripts/bench_ringpad.py)
         fast = (
-            self.kernel_size == 3
+            self.kernel_size in (3, 4)
             and self.padding == 1
             and self.ring
-            and self.pad_mode == "replicate"
+            and self.pad_mode in ("replicate", "reflect")
             and self.stride in (1, 2)
+            and not (self.kernel_size == 4 and self.stride == 1)
             and (self.stride == 1 or (x.shape[-1] % 2 == 0 and x.shape[-2] % 2 == 0))
         )
         if not fast and self.padding != 0:
@@ -185,5 +189,6 @@ class RingConv2d(nn.Module):
             gain=self.gain,
             lr_mul=self.lr_mul,
             ring_fast=fast,
+            ring_fast_mode=self.pad_mode,
             name="conv",
         )(x)

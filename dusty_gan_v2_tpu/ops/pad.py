@@ -14,7 +14,7 @@ import functools
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["pad2d", "pad_ring", "filter2d", "conv3x3_ring_fast"]
+__all__ = ["pad2d", "pad_ring", "filter2d", "conv_ring_fast", "conv3x3_ring_fast"]
 
 
 def _pad_axis(x: jnp.ndarray, axis: int, lo: int, hi: int, mode: str) -> jnp.ndarray:
@@ -94,28 +94,35 @@ def pad2d(
 pad_ring = pad2d
 
 
-def conv3x3_ring_fast(x: jnp.ndarray, w: jnp.ndarray, stride=(1, 1)) -> jnp.ndarray:
-    """3x3 conv with circular-W / replicate-H padding 1, WITHOUT the padded copy.
+def conv_ring_fast(
+    x: jnp.ndarray, w: jnp.ndarray, stride=(1, 1), h_mode: str = "replicate"
+) -> jnp.ndarray:
+    """kxk conv with circular-W / replicate-or-reflect-H padding 1, WITHOUT the
+    padded copy.
 
     Exactly equals (up to fp reassociation)
-        lax.conv_valid(pad2d(x, 1, ring=True, mode="replicate"), w, stride)
-    for stride (1,1) or (2,2) with even H, W. The concat-based pre-pad materializes
-    a full copy of the activation per conv — measured at 29% of the dusty_v2
-    discriminator's fwd+bwd (scripts/bench_ringpad.py). Here the conv runs with its
-    own fused zero padding and the wrap/replicate contributions are added back as
-    boundary corrections: per affected output row/column, a (O,I,3)x(B,I,3,N)
-    einsum over the corresponding input edge line.
+        lax.conv_valid(pad2d(x, 1, ring=True, mode=h_mode), w, stride)
+    for k in {3, 4}, stride (1,1) or (2,2) with even H, W. The concat-based
+    pre-pad materializes a full copy of the activation per conv — measured at 29%
+    of the dusty_v2 discriminator's fwd+bwd (scripts/bench_ringpad.py). Here the
+    conv runs with its own fused zero padding and the wrap/replicate/reflect
+    contributions are added back as boundary corrections: per affected output
+    row/column, a (O,I,k)x(B,I,k,N) einsum over the corresponding input edge line.
 
     Pad-cell accounting (each padded-copy cell counted exactly once): the wrap
-    columns own the four corners (their H-replicate extension), the replicate
-    rows are zero-extended at the corners. At stride 2 (even W, H) the right/bottom
-    pad cells are never read by any output, so only the left/top corrections exist.
+    columns own the four corners (their H-mode extension), the H-pad rows are
+    zero-extended at the corners. An edge's correction exists only when some
+    output actually reads that pad line: with pad 1, output j reads pad column
+    W+1 iff s*(oW-1) + (k-1) == W+1 (true for k=3 s=1 and k=4 s=2; false for
+    k=3 s=2), and symmetrically for the bottom row.
 
-    x: (B, I, H, W); w: (O, I, 3, 3) — already LR-scaled; returns (B, O, oH, oW).
+    x: (B, I, H, W); w: (O, I, k, k) — already LR-scaled; returns (B, O, oH, oW).
     """
     B, I, H, W = x.shape
+    k = int(w.shape[-1])
     s = int(stride[0])
-    assert stride[1] == stride[0] and s in (1, 2) and w.shape[-2:] == (3, 3)
+    assert stride[1] == stride[0] and s in (1, 2) and w.shape[-2:] == (k, k)
+    assert k in (3, 4) and h_mode in ("replicate", "reflect")
     if s == 2:
         assert H % 2 == 0 and W % 2 == 0, (H, W)
     y = lax.conv_general_dilated(
@@ -124,40 +131,53 @@ def conv3x3_ring_fast(x: jnp.ndarray, w: jnp.ndarray, stride=(1, 1)) -> jnp.ndar
     )
     oH, oW = y.shape[2], y.shape[3]
 
-    def line_corr(line, taps, n_out, replicate_ends):
-        # line (B,I,N): the input edge line; taps (O,I,3): the kernel column/row
+    def line_corr(line, taps, n_out, wrap_col):
+        # line (B,I,N): the input edge line; taps (O,I,k): the kernel column/row
         # facing the pad; -> (B,O,n_out) correction for the single affected output
-        # row/column. Ends extend by replication (wrap columns) or zeros
-        # (replicate rows — their corners belong to the column corrections).
-        if replicate_ends:
+        # row/column. Wrap columns extend by the H pad mode (they own the
+        # corners); H-pad rows are zero-extended (corners already counted).
+        if wrap_col and h_mode == "replicate":
             lo, hi = line[:, :, :1], line[:, :, -1:]
+        elif wrap_col:  # reflect (no edge repeat)
+            lo, hi = line[:, :, 1:2], line[:, :, -2:-1]
         else:
             lo = hi = jnp.zeros_like(line[:, :, :1])
         ext = jnp.concatenate([lo, line, hi], axis=2)
         sl = jnp.stack(
-            [ext[:, :, t : t + s * (n_out - 1) + 1 : s] for t in range(3)], axis=2
+            [ext[:, :, t : t + s * (n_out - 1) + 1 : s] for t in range(k)], axis=2
         )
         return jnp.einsum("oit,bitn->bon", taps, sl)
 
+    # the H pad rows' values depend on the mode: replicate -> the edge row itself,
+    # reflect -> its inner neighbor
+    top_row = x[:, :, 1, :] if h_mode == "reflect" else x[:, :, 0, :]
+    bot_row = x[:, :, H - 2, :] if h_mode == "reflect" else x[:, :, H - 1, :]
+
     zero = jnp.zeros((), y.dtype)
     d_left = line_corr(x[:, :, :, W - 1], w[:, :, :, 0], oH, True)
-    d_top = line_corr(x[:, :, 0, :], w[:, :, 0, :], oW, False)
+    d_top = line_corr(top_row, w[:, :, 0, :], oW, False)
     corr = lax.pad(d_left[:, :, :, None], zero, [(0, 0, 0)] * 3 + [(0, oW - 1, 0)])
     corr = corr + lax.pad(
         d_top[:, :, None, :], zero, [(0, 0, 0), (0, 0, 0), (0, oH - 1, 0), (0, 0, 0)]
     )
-    if s == 1:
-        d_right = line_corr(x[:, :, :, 0], w[:, :, :, 2], oH, True)
-        d_bot = line_corr(x[:, :, H - 1, :], w[:, :, 2, :], oW, False)
+    if s * (oW - 1) + (k - 1) == W + 1:  # some output reads the right pad column
+        d_right = line_corr(x[:, :, :, 0], w[:, :, :, k - 1], oH, True)
         corr = corr + lax.pad(
             d_right[:, :, :, None], zero, [(0, 0, 0)] * 3 + [(oW - 1, 0, 0)]
         )
+    if s * (oH - 1) + (k - 1) == H + 1:  # some output reads the bottom pad row
+        d_bot = line_corr(bot_row, w[:, :, k - 1, :], oW, False)
         corr = corr + lax.pad(
             d_bot[:, :, None, :],
             zero,
             [(0, 0, 0), (0, 0, 0), (oH - 1, 0, 0), (0, 0, 0)],
         )
     return y + corr
+
+
+def conv3x3_ring_fast(x, w, stride=(1, 1)):
+    """Back-compat alias: 3x3 circular-W / replicate-H fast conv."""
+    return conv_ring_fast(x, w, stride, h_mode="replicate")
 
 
 def _depthwise_conv_1d(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:

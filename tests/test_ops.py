@@ -41,40 +41,46 @@ class TestPad:
         ref = F.pad(ref, (0, 0, pad[2], pad[3]), mode=mode)
         np.testing.assert_allclose(got, t2n(ref), rtol=0, atol=0)
 
-    @pytest.mark.parametrize("stride", [1, 2])
+    @pytest.mark.parametrize("k,stride,mode", [
+        (3, 1, "replicate"), (3, 2, "replicate"), (3, 1, "reflect"),
+        (4, 2, "replicate"), (4, 2, "reflect"),
+    ])
     @pytest.mark.parametrize("shape", [(8, 16), (6, 10), (4, 32)])
-    def test_conv3x3_ring_fast_exact(self, stride, shape):
-        """Pad-free ring conv == conv over the materialized ring/replicate pad,
-        forward and both grads (it replaces the padded copy in dusty_v2's D)."""
+    def test_conv_ring_fast_exact(self, k, stride, mode, shape):
+        """Pad-free ring conv == conv over the materialized circular/replicate/
+        reflect pad, forward and both grads (it replaces the padded copy in
+        dusty_v2's D 3x3s and vanilla's 4x4 downsamples)."""
         from jax import lax
 
-        from dusty_gan_v2_tpu.ops.pad import conv3x3_ring_fast, pad2d
+        from dusty_gan_v2_tpu.ops.pad import conv_ring_fast, pad2d
 
         H, W = shape
         x = jnp.asarray(rand(2, 3, H, W))
-        w = jnp.asarray(rand(5, 3, 3, 3))
+        w = jnp.asarray(rand(5, 3, k, k))
         s = (stride, stride)
 
         def ref_fn(x, w):
             return lax.conv_general_dilated(
-                pad2d(x, 1, ring=True, mode="replicate"), w, s, "VALID",
+                pad2d(x, 1, ring=True, mode=mode), w, s, "VALID",
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
             )
 
         ref = ref_fn(x, w)
-        got = conv3x3_ring_fast(x, w, s)
+        got = conv_ring_fast(x, w, s, h_mode=mode)
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=0)
 
         loss_ref = lambda x, w: jnp.sum(jnp.sin(ref_fn(x, w)))
-        loss_got = lambda x, w: jnp.sum(jnp.sin(conv3x3_ring_fast(x, w, s)))
+        loss_got = lambda x, w: jnp.sum(jnp.sin(conv_ring_fast(x, w, s, h_mode=mode)))
         gr = jax.grad(loss_ref, argnums=(0, 1))(x, w)
         gg = jax.grad(loss_got, argnums=(0, 1))(x, w)
-        np.testing.assert_allclose(np.asarray(gg[0]), np.asarray(gr[0]), atol=2e-5, rtol=0)
-        # weight grads reduce over B*H*W terms -> pure fp-reassociation noise scales
-        # with the magnitude; relative tolerance is the right yardstick
+        # grads reduce over many terms -> pure fp-reassociation noise scales with
+        # the magnitude; relative tolerance is the right yardstick
         np.testing.assert_allclose(
-            np.asarray(gg[1]), np.asarray(gr[1]), atol=2e-5, rtol=1e-5
+            np.asarray(gg[0]), np.asarray(gr[0]), atol=5e-5, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(gg[1]), np.asarray(gr[1]), atol=5e-5, rtol=1e-5
         )
 
     def test_filter2d_matches_torch(self):
