@@ -52,7 +52,9 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = pad2d(x, 1, ring=self.ring, mode="reflect")
+        # pad-free circular-W/reflect-H ConvT path when applicable (ops/pad.py)
+        if not self.ring:
+            x = pad2d(x, 1, ring=self.ring, mode="reflect")
         x = EqualLRConvTranspose2d(
             in_ch=self.in_ch,
             out_ch=self.out_ch,
@@ -60,6 +62,7 @@ class Upsample(nn.Module):
             stride=(2, 2),
             padding=(3, 3),
             use_bias=False,
+            ring_fast=self.ring,
             name="conv",
         )(x)
         return FusedLeakyReLU(self.out_ch, name="act")(x)
@@ -76,7 +79,7 @@ class Head(nn.Module):
         for o in self.out_ch:
             if o["ch"] == 0:
                 continue
-            h = pad2d(x, 1, ring=self.ring, mode="reflect")
+            h = x if self.ring else pad2d(x, 1, ring=self.ring, mode="reflect")
             h = EqualLRConvTranspose2d(
                 in_ch=self.in_ch,
                 out_ch=o["ch"],
@@ -84,6 +87,7 @@ class Head(nn.Module):
                 stride=(2, 2),
                 padding=(3, 3),
                 use_bias=True,
+                ring_fast=self.ring,
                 name=o["name"],
             )(h)
             out[o["name"]] = resolve_act(o.get("act"))(h)

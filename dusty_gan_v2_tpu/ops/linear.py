@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .pad import conv_ring_fast, pad2d
+from .pad import conv_ring_fast, convT4x4s2_ring_fast, pad2d
 
 __all__ = ["EqualLRDense", "EqualLRConv2d", "EqualLRConvTranspose2d", "RingConv2d"]
 
@@ -118,6 +118,10 @@ class EqualLRConvTranspose2d(nn.Module):
     use_bias: bool = True
     gain: float = 1.0
     lr_mul: float = 1.0
+    # pad-free path for the ConvT(pad2d(x,1), k=4, s=2, p=3) composite
+    # (ops/pad.py::convT4x4s2_ring_fast); input arrives UNPADDED when set
+    ring_fast: bool = False
+    ring_fast_mode: str = "reflect"
 
     @nn.compact
     def __call__(self, x):
@@ -131,14 +135,20 @@ class EqualLRConvTranspose2d(nn.Module):
         w_t = jnp.flip(w, axis=(-2, -1)).transpose(1, 0, 2, 3)
         ph, pw = self.padding
         sh, sw = self.stride
-        y = lax.conv_general_dilated(
-            x,
-            (w_t * scale).astype(x.dtype),
-            window_strides=(1, 1),
-            padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
-            lhs_dilation=(sh, sw),
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )
+        if self.ring_fast:
+            assert (kh, kw) == (4, 4) and (sh, sw) == (2, 2) and (ph, pw) == (3, 3)
+            y = convT4x4s2_ring_fast(
+                x, (w_t * scale).astype(x.dtype), self.ring_fast_mode
+            )
+        else:
+            y = lax.conv_general_dilated(
+                x,
+                (w_t * scale).astype(x.dtype),
+                window_strides=(1, 1),
+                padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
+                lhs_dilation=(sh, sw),
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
             y = y + b.reshape(1, -1, 1, 1).astype(x.dtype)

@@ -180,6 +180,68 @@ def conv3x3_ring_fast(x, w, stride=(1, 1)):
     return conv_ring_fast(x, w, stride, h_mode="replicate")
 
 
+def convT4x4s2_ring_fast(
+    x: jnp.ndarray, w_t: jnp.ndarray, h_mode: str = "reflect"
+) -> jnp.ndarray:
+    """4x4 stride-2 padding-3 ConvTranspose over circular-W / h_mode-H pad 1,
+    WITHOUT the padded copy (vanilla G's Upsample/Head composite).
+
+    Exactly equals (up to fp reassociation)
+        lax.conv(dilate_2(pad2d(x, 1, ring=True, mode=h_mode)), w_t, VALID)
+    i.e. ConvT(pad2d(x,1), k=4, s=2, p=3) with w_t the flipped/transposed kernel
+    (O,I,4,4). The dilated padded tensor differs from zero-padding the dilated x
+    by exactly ONE value-bearing cell per side per axis (the other inserted cell
+    is a dilation zero), so each boundary output line needs one correction: a 1-D
+    lhs-dilated conv of the corresponding edge line with the facing kernel
+    column/row. Wrap columns own the corners (h_mode extension); pad rows are
+    zero-extended.
+    """
+    B, I, H, W = x.shape
+    assert w_t.shape[-2:] == (4, 4) and h_mode in ("replicate", "reflect")
+    y = lax.conv_general_dilated(
+        x, w_t, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    oH, oW = y.shape[2], y.shape[3]  # (2H, 2W)
+
+    def line_corr(line, taps, wrap_col):
+        # line (B,I,N); taps (O,I,4) -> (B,O,2N): the full correction for ONE
+        # boundary output row/column, as a 1-D dilated VALID conv of the
+        # mode-extended line (length N+2 -> dilated 2N+3 -> out 2N)
+        if wrap_col and h_mode == "replicate":
+            lo, hi = line[:, :, :1], line[:, :, -1:]
+        elif wrap_col:
+            lo, hi = line[:, :, 1:2], line[:, :, -2:-1]
+        else:
+            lo = hi = jnp.zeros_like(line[:, :, :1])
+        ext = jnp.concatenate([lo, line, hi], axis=2)[:, :, :, None]
+        out = lax.conv_general_dilated(
+            ext, taps[:, :, :, None], (1, 1), ((0, 0), (0, 0)),
+            lhs_dilation=(2, 1), dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        return out[:, :, :, 0]
+
+    top_row = x[:, :, 1, :] if h_mode == "reflect" else x[:, :, 0, :]
+    bot_row = x[:, :, H - 2, :] if h_mode == "reflect" else x[:, :, H - 1, :]
+
+    zero = jnp.zeros((), y.dtype)
+    d_left = line_corr(x[:, :, :, W - 1], w_t[:, :, :, 0], True)
+    d_right = line_corr(x[:, :, :, 0], w_t[:, :, :, 3], True)
+    d_top = line_corr(top_row, w_t[:, :, 0, :], False)
+    d_bot = line_corr(bot_row, w_t[:, :, 3, :], False)
+    corr = lax.pad(d_left[:, :, :, None], zero, [(0, 0, 0)] * 3 + [(0, oW - 1, 0)])
+    corr = corr + lax.pad(
+        d_right[:, :, :, None], zero, [(0, 0, 0)] * 3 + [(oW - 1, 0, 0)]
+    )
+    corr = corr + lax.pad(
+        d_top[:, :, None, :], zero, [(0, 0, 0), (0, 0, 0), (0, oH - 1, 0), (0, 0, 0)]
+    )
+    corr = corr + lax.pad(
+        d_bot[:, :, None, :], zero, [(0, 0, 0), (0, 0, 0), (oH - 1, 0, 0), (0, 0, 0)]
+    )
+    return y + corr
+
+
 def _depthwise_conv_1d(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
     """VALID depthwise conv of NCHW `x` with a 1D kernel along H (axis=-2) or W (axis=-1).
 

@@ -83,6 +83,37 @@ class TestPad:
             np.asarray(gg[1]), np.asarray(gr[1]), atol=5e-5, rtol=1e-5
         )
 
+    @pytest.mark.parametrize("mode", ["replicate", "reflect"])
+    @pytest.mark.parametrize("shape", [(8, 16), (6, 10), (4, 32)])
+    def test_convT_ring_fast_exact(self, mode, shape):
+        """Pad-free ConvT(pad2d(x,1), k=4, s=2, p=3) == the materialized-pad
+        composite (it replaces the padded copies in vanilla G's upsamples)."""
+        from jax import lax
+
+        from dusty_gan_v2_tpu.ops.pad import convT4x4s2_ring_fast, pad2d
+
+        H, W = shape
+        x = jnp.asarray(rand(2, 3, H, W))
+        w_t = jnp.asarray(rand(5, 3, 4, 4))
+
+        def ref_fn(x, w_t):
+            return lax.conv_general_dilated(
+                pad2d(x, 1, ring=True, mode=mode), w_t, (1, 1), ((0, 0), (0, 0)),
+                lhs_dilation=(2, 2), dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            )
+
+        ref = ref_fn(x, w_t)
+        got = convT4x4s2_ring_fast(x, w_t, h_mode=mode)
+        assert got.shape == ref.shape == (2, 5, 2 * H, 2 * W)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=0)
+        gr = jax.grad(lambda x, w: jnp.sum(jnp.sin(ref_fn(x, w))), (0, 1))(x, w_t)
+        gg = jax.grad(
+            lambda x, w: jnp.sum(jnp.sin(convT4x4s2_ring_fast(x, w, h_mode=mode))),
+            (0, 1),
+        )(x, w_t)
+        np.testing.assert_allclose(np.asarray(gg[0]), np.asarray(gr[0]), atol=5e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gg[1]), np.asarray(gr[1]), atol=5e-5, rtol=1e-5)
+
     def test_filter2d_matches_torch(self):
         x = rand(2, 4, 8, 16)
         kernel = np.array([1.0, 3.0, 3.0, 1.0], np.float32)
