@@ -3,6 +3,23 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Driver-robustness (VERDICT r2 #1): on this host a bare ``jax.devices()`` can block
+FOREVER when the TPU tunnel is down (observed: r2 driver window expired with rc=124 and
+zero output). The default mode is therefore a WATCHDOG PARENT that imports no jax at
+all; it forks the real bench as a child process (``--_child``) and enforces two
+deadlines:
+
+  1. device acquisition: the child must print ``READY <device_kind>`` (after
+     jax.devices() AND a tiny matmul completes) within BENCH_ACQUIRE_TIMEOUT seconds
+     (default 180). One retry on a fresh child; a down tunnel yields a clean nonzero
+     exit with a one-line diagnostic in < ~7 minutes instead of eating the window.
+  2. total runtime: the JSON result line must arrive within BENCH_RUN_TIMEOUT seconds
+     after READY (default 1020 — covers a worst-case cold remote compile; warm runs
+     finish in ~90 s). Worst case overall ~23 min, under the driver timeout.
+
+All child stdout other than the final JSON line is forwarded to stderr so stdout stays
+a single parseable line.
+
 Baseline context (BASELINE.md): the reference publishes no numbers; the provisional
 baseline is REF_SAMPLES_PER_SEC below — an estimate of the reference PyTorch pipeline's
 single-GPU sampling rate at batch 64 (StyleGAN2-class 64x512 generator, fp32, V100-class
@@ -10,6 +27,11 @@ GPU). The north-star target is >= 5x that per chip.
 """
 
 import json
+import os
+import signal
+import subprocess
+import sys
+import threading
 import time
 
 import numpy as np
@@ -26,6 +48,112 @@ PEAK_FLOPS_BF16 = {
     "TPU v6 lite": 918e12,  # v6e (Trillium)
 }
 
+
+# --------------------------------------------------------------------------- parent
+
+def _fail(msg: str, code: int = 1):
+    print(f"bench.py watchdog: {msg}", file=sys.stderr, flush=True)
+    sys.exit(code)
+
+
+class _ChildLines:
+    """Popen wrapper: line-queue stdout reader with deadline waits + group kill."""
+
+    def __init__(self, argv):
+        self.proc = subprocess.Popen(
+            argv,
+            stdout=subprocess.PIPE,
+            stderr=None,  # inherit: warnings/diagnostics land in the driver tail
+            text=True,
+            start_new_session=True,  # own process group, killable even if it forks
+        )
+        self._lines = []
+        self._cond = threading.Condition()
+        self._eof = False
+        t = threading.Thread(target=self._reader, daemon=True)
+        t.start()
+
+    def _reader(self):
+        for line in self.proc.stdout:
+            with self._cond:
+                self._lines.append(line.rstrip("\n"))
+                self._cond.notify_all()
+        with self._cond:
+            self._eof = True
+            self._cond.notify_all()
+
+    def next_line(self, deadline: float):
+        """Next stdout line, or None on timeout/EOF before one arrives."""
+        with self._cond:
+            while True:
+                if self._lines:
+                    return self._lines.pop(0)
+                if self._eof:
+                    return None
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return None
+                self._cond.wait(timeout=min(remaining, 1.0))
+
+    def kill(self):
+        try:
+            os.killpg(self.proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        try:
+            self.proc.wait(timeout=10)
+        except Exception:
+            pass
+
+
+def _supervise(extra_argv):
+    acquire_budget = float(os.environ.get("BENCH_ACQUIRE_TIMEOUT", 180))
+    run_budget = float(os.environ.get("BENCH_RUN_TIMEOUT", 1020))
+    retries = int(os.environ.get("BENCH_ACQUIRE_RETRIES", 1))
+    argv = [sys.executable, os.path.abspath(__file__), "--_child"] + extra_argv
+
+    child = None
+    for attempt in range(retries + 1):
+        child = _ChildLines(argv)
+        deadline = time.monotonic() + acquire_budget
+        line = child.next_line(deadline)
+        while line is not None and not line.startswith("READY"):
+            print(line, file=sys.stderr, flush=True)  # keep stdout JSON-only
+            line = child.next_line(deadline)
+        if line is not None:
+            print(f"[watchdog] {line} (attempt {attempt + 1})", file=sys.stderr, flush=True)
+            break
+        rc = child.proc.poll()
+        child.kill()
+        child = None
+        print(
+            f"[watchdog] no READY within {acquire_budget:.0f}s on attempt "
+            f"{attempt + 1}/{retries + 1} (backend init hang or crash rc={rc})",
+            file=sys.stderr,
+            flush=True,
+        )
+    if child is None:
+        _fail("backend init timeout: device acquisition never completed "
+              "(TPU tunnel down?) — exiting early instead of eating the driver window")
+
+    # phase 2: wait for the single JSON result line
+    deadline = time.monotonic() + run_budget
+    while True:
+        line = child.next_line(deadline)
+        if line is None:
+            if child.proc.poll() is not None:
+                child.kill()
+                _fail(f"child exited rc={child.proc.returncode} without a result line")
+            child.kill()
+            _fail(f"bench run timeout: no result within {run_budget:.0f}s after READY")
+        if line.startswith("{") and '"metric"' in line:
+            print(line, flush=True)
+            child.kill()  # don't linger on backend teardown (tunnel hangs there too)
+            return
+        print(line, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------- child
 
 def _device_peak() -> float:
     import jax
@@ -48,24 +176,35 @@ def _compiled_flops(jitted, *args) -> float:
         return 0.0
 
 
-def main():
-    import argparse
+def run_bench(batch: int = 128):
+    import jax
+
+    # sitecustomize imports jax at interpreter start, so JAX_PLATFORMS env is too late;
+    # force via config (local CPU testing of the watchdog — the driver uses the default).
+    # Must run BEFORE enable_persistent_cache(): that calls jax.default_backend(),
+    # which initializes every platform in jax_platforms (including the hang-prone axon).
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
     from dusty_gan_v2_tpu.utils.jax_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _angle, _full_gen_cfg
     from dusty_gan_v2_tpu.models import build_generator
 
-    p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=128)  # driver runs the default
-    args = p.parse_args()
+    # acquisition probe: devices() + one tiny op round-trip. The parent's READY
+    # deadline fences exactly this (the canonical hang site on this host).
+    if os.environ.get("BENCH_SIMULATE_HANG"):  # watchdog self-test hook
+        time.sleep(3600)
+    dev = jax.devices()[0]
+    x = jnp.ones((8, 8))
+    jax.block_until_ready(x @ x)
+    print(f"READY {dev.device_kind}", flush=True)
 
     res = (64, 512)
-    B = args.batch
+    B = batch
     cfg = _full_gen_cfg(resolution=res)
     cfg["compute_dtype"] = "bfloat16"  # params fp32; per-block bf16 compute (f32 parity
     # is covered by tests/test_parity.py at compute_dtype=float32)
@@ -113,9 +252,26 @@ def main():
         "batch_ms": round(1e3 * dt / n_iters, 3),
         "flops_per_sample": round(flops_per_batch / B) if flops_per_batch else None,
         "mfu_pct": round(100.0 * achieved / peak, 2) if (peak and achieved) else None,
-        "device": __import__("jax").devices()[0].device_kind,
+        "device": dev.device_kind,
     }
-    print(json.dumps(record))
+    print(json.dumps(record), flush=True)
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=128)  # driver runs the default
+    p.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--no-watchdog", action="store_true",
+                   help="run inline without the supervisor process")
+    args = p.parse_args()
+
+    if args._child or args.no_watchdog:
+        run_bench(batch=args.batch)
+    else:
+        extra = [] if args.batch == 128 else ["--batch", str(args.batch)]
+        _supervise(extra)
 
 
 if __name__ == "__main__":
