@@ -168,6 +168,11 @@ class ModConv2d(nn.Module):
                 if self.use_bias
                 else None
             )
+            # the normal path applies gain AFTER bias (h = (x*w + b) * gain), so
+            # folding it into both returned tensors is exact for fused callers
+            if self.gain != 1.0:
+                wb = wb * self.gain
+                b = None if b is None else b * self.gain
             return wb[..., 0, 0], b
 
         if self.transposed:

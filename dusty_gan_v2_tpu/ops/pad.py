@@ -14,7 +14,14 @@ import functools
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["pad2d", "pad_ring", "filter2d", "conv_ring_fast", "conv3x3_ring_fast"]
+__all__ = [
+    "pad2d",
+    "pad_ring",
+    "filter2d",
+    "conv_ring_fast",
+    "conv3x3_ring_fast",
+    "convT4x4s2_ring_fast",
+]
 
 
 def _pad_axis(x: jnp.ndarray, axis: int, lo: int, hi: int, mode: str) -> jnp.ndarray:

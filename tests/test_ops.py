@@ -388,6 +388,20 @@ class TestModConv:
         expected = 1.0 + (1 - 0.9989) * (var - 1.0)
         assert abs(float(new_state["stats"]["ema_var"]) - expected) < 1e-5
 
+    def test_return_weights_folds_gain(self):
+        """return_weights must be equivalent to the normal path for any gain:
+        x @ w_ret + b_ret == (x @ w + b) * gain (gain applies after bias)."""
+        layer = ops.ModConv2d(
+            in_ch=4, out_ch=6, mod_ch=4, ksize=1, padding=0, gain=0.5, use_bias=True
+        )
+        x = jnp.asarray(rand(2, 4, 8, 8))
+        s = jnp.asarray(rand(2, 4))
+        variables = layer.init(jax.random.PRNGKey(0), x, s)
+        ref = layer.apply(variables, x, s)
+        wb, b = layer.apply(variables, x, s, return_weights=True)
+        fused = jnp.einsum("boi,bihw->bohw", wb, x) + b.reshape(1, -1, 1, 1)
+        assert jnp.max(jnp.abs(fused - ref)) < 1e-5
+
     def test_ksize3_general_path(self):
         layer = ops.ModConv2d(in_ch=4, out_ch=6, mod_ch=4, ksize=3, padding=1)
         x = jnp.asarray(rand(2, 4, 8, 8))

@@ -76,11 +76,11 @@ def fixture_root(tmp_path_factory):
     return root
 
 
-def _write_cfg(tmp_path, root):
+def _write_cfg(tmp_path, root, inputs="[xyz, depth]", max_steps=2):
     cfg = f"""
 arch:
   name: squeezeseg_v2
-  inputs: [xyz, depth]
+  inputs: {inputs}
   bn_momentum: 0.001
   pretrained_weights: false
   encoder: {{dropout_p: 0.5}}
@@ -100,7 +100,7 @@ loss:
   cls_loss_coef: 15.0
   cls_weight: [0.33, 1.0, 3.5]
 training:
-  max_steps: 2
+  max_steps: {max_steps}
   lr: 0.05
   lr_momentum: 0.9
   lr_decay: 0.5
@@ -114,6 +114,24 @@ random_seed: 0
     p = tmp_path / "e2e.yaml"
     p.write_text(cfg)
     return p
+
+
+def test_train_with_mask_input(fixture_root, tmp_path, monkeypatch):
+    """'mask' as a declared input modality (MODALITY_CH) must train: it ships as a
+    3-D uint8 plane and the in-step concat re-expands it (regression: the CLI once
+    overwrote the expanded copy with the raw 3-D mask -> rank mismatch at trace)."""
+    log_dir = tmp_path / "logs_mask"
+    cfg_path = _write_cfg(
+        tmp_path, fixture_root, inputs="[depth, mask]", max_steps=1
+    )
+
+    train_mod = load_cli("train_semseg")
+    monkeypatch.setattr(sys, "argv", [
+        "train_semseg.py", "--config", str(cfg_path),
+        "--log_dir", str(log_dir), "--num_workers", "2",
+    ])
+    train_mod.main()
+    assert sorted((log_dir / "models").glob("*.ckpt")), "no checkpoint written"
 
 
 def test_train_then_eval(fixture_root, tmp_path, monkeypatch, capsys):

@@ -295,13 +295,14 @@ def main():
         # imgs/s across these loop fixes on the tunnel-attached chip). The
         # DevicePrefetcher bounds how far dispatch runs ahead.
         pending_metrics.append(metrics)
-        if i % int(ckpt_cfg.save_stats) == 0:
+        stats_tick = i % int(ckpt_cfg.save_stats) == 0 or i == total_iters
+        if stats_tick:
             for m in jax.device_get(pending_metrics):
                 for k, v in m.items():
                     moving[k].append(float(v))
             pending_metrics.clear()
 
-        if is_chief and i % int(ckpt_cfg.save_stats) == 0:
+        if is_chief and stats_tick:
             for k, dq in moving.items():
                 writer.add_scalar(k, float(np.mean(dq)), num_imgs)
             ips = trainer.batch_size * i / (time.time() - t_start)

@@ -247,8 +247,14 @@ def main():
         xyz = batch["xyz"].astype(jnp.float32)
         mask = batch["mask"].astype(jnp.float32)
         label = batch["label"].astype(jnp.int32)
+        # 3-D modalities (mask ships as (B,H,W) uint8) are re-expanded here so the
+        # host never uploads a second float copy of them
         inputs = jnp.concatenate(
-            [batch[m].astype(jnp.float32) for m in modalities], axis=1
+            [
+                (t if t.ndim == 4 else t[:, None]).astype(jnp.float32)
+                for t in (batch[m] for m in modalities)
+            ],
+            axis=1,
         )
 
         def loss_fn(p):
@@ -319,7 +325,9 @@ def main():
             raw = next(loader)
             out = {"xyz": raw["xyz"].astype(up_dtype, copy=False)}
             for m in modalities:
-                if m == "xyz":
+                # xyz/mask already ship below (mask exactly, as uint8); the
+                # in-step concat re-expands 3-D modalities, so no float copy
+                if m in ("xyz", "mask"):
                     continue
                 t = raw[m]
                 out[m] = (t if t.ndim == 4 else t[:, None]).astype(
