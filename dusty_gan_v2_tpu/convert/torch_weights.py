@@ -215,12 +215,17 @@ def convert_discriminator_state(state_dict: Dict[str, Any], arch: str) -> Dict:
 
 
 def convert_squeezeseg_state(state_dict: Dict[str, Any], arch: str = "squeezeseg_v2"):
-    """Reference SqueezeSegV2 torch state_dict -> (params, batch_stats) trees.
+    """Reference SqueezeSeg V1/V2 torch state_dict -> (params, batch_stats) trees.
 
-    torch layout (squeezeseg_v2.py:59-161): encoder/decoder ModuleDicts of Sequential
+    V2 torch layout (squeezeseg_v2.py:59-161): encoder/decoder ModuleDicts of Sequential
     blocks; ConvReLUNorm = Sequential(conv, relu, bn); CAM.attn =
     Sequential(maxpool, conv, relu, conv, sigmoid).
+    V1 torch layout (squeezeseg_v1.py:27-113): flat attributes, ConvReLU =
+    Sequential(conv, relu) — no BatchNorm, so batch_stats comes back empty;
+    fire2_3/fire4_5/fire6_9 are Sequentials whose index 0 is a MaxPool.
     """
+    if arch == "squeezeseg_v1":
+        return _convert_squeezeseg_v1_state(state_dict)
     assert arch == "squeezeseg_v2", arch
     params: Dict = {}
     stats: Dict = {}
@@ -285,6 +290,63 @@ def convert_squeezeseg_state(state_dict: Dict[str, Any], arch: str = "squeezeseg
     if leftovers:
         raise KeyError(f"unconverted squeezeseg keys: {leftovers}")
     return params, stats
+
+
+def _convert_squeezeseg_v1_state(state_dict: Dict[str, Any]):
+    """SqueezeSegV1 (reference squeezeseg_v1.py:27-113) -> (params, {}).
+
+    ConvReLU = Sequential(conv, relu) so conv weights live at index 0; the upsample
+    DeconvReLU ConvTranspose at `.upsample.0`; Head = Sequential(dropout, conv) so
+    the head conv is index 1. No BatchNorm anywhere in V1.
+    """
+    params: Dict = {}
+    consumed = set()
+
+    def take(key):
+        consumed.add(key)
+        return _to_np(state_dict[key])
+
+    def conv_relu(t_prefix, mine):
+        _set(params, (*mine, "conv", "weight"), take(f"{t_prefix}.0.weight"))
+        _set(params, (*mine, "conv", "bias"), take(f"{t_prefix}.0.bias"))
+
+    def fire(t_prefix, mine, up=False):
+        conv_relu(f"{t_prefix}.squeeze1x1", (mine, "squeeze1x1"))
+        conv_relu(f"{t_prefix}.expand1x1", (mine, "expand1x1"))
+        conv_relu(f"{t_prefix}.expand3x3", (mine, "expand3x3"))
+        if up:
+            _set(params, (mine, "upsample", "weight"),
+                 take(f"{t_prefix}.upsample.0.weight"))
+            _set(params, (mine, "upsample", "bias"),
+                 take(f"{t_prefix}.upsample.0.bias"))
+
+    conv_relu("conv1a", ("conv1a",))
+    conv_relu("conv1b", ("conv1b",))
+    fire("fire2_3.1", "fire2")
+    fire("fire2_3.2", "fire3")
+    fire("fire4_5.1", "fire4")
+    fire("fire4_5.2", "fire5")
+    for i, name in ((1, "fire6"), (2, "fire7"), (3, "fire8"), (4, "fire9")):
+        fire(f"fire6_9.{i}", name)
+    for name in ("fire10", "fire11", "fire12", "fire13"):
+        fire(name, name, up=True)
+    _set(params, ("head", "weight"), take("head.1.weight"))
+    _set(params, ("head", "bias"), take("head.1.bias"))
+
+    if "crf.weight_appearance" in state_dict:
+        _set(params, ("crf", "weight_appearance"), take("crf.weight_appearance"))
+        _set(params, ("crf", "weight_smoothness"), take("crf.weight_smoothness"))
+        _set(params, ("crf", "label_compatibility"),
+             take("crf.label_compatibility.weight"))
+
+    leftovers = [
+        k for k in state_dict
+        if k not in consumed
+        and not any(t in k for t in ("theta_", "kernel_gamma", "kernel_alpha"))
+    ]
+    if leftovers:
+        raise KeyError(f"unconverted squeezeseg_v1 keys: {leftovers}")
+    return params, {}
 
 
 def load_reference_checkpoint(path: str):

