@@ -23,6 +23,7 @@ the reference exactly.
 
 from __future__ import annotations
 
+import functools
 import math
 from functools import partial
 from typing import Dict, NamedTuple, Optional, Tuple
@@ -34,6 +35,7 @@ import scipy.signal
 
 from ..ops.pad import _pad_axis
 from ..ops.resample import upfirdn2d
+from ..parallel.persample import PerSampleStream, global_ids
 
 __all__ = ["AdaptiveAugment", "AdaState", "SYM2", "SYM6"]
 
@@ -171,10 +173,59 @@ def _inv3x3(m):
     return adj / det[:, None, None]
 
 
-def _maybe(rng, p, mat, prev):
-    """With prob p apply `mat`, else identity; compose onto prev (reference :248-253)."""
-    B = mat.shape[0]
-    sel = (jax.random.uniform(rng, (B, 1, 1)) < p).astype(mat.dtype)
+@functools.lru_cache(maxsize=8)
+def _warp_chain_mats(H: int, W: int):
+    """Constant per-shape operators of the separable warp chain (see _geometric).
+
+    Built once per (H, W) by pushing identity bases through the REAL ops
+    (_pad_axis + upfirdn2d), so each matrix is exact-by-construction equal to the
+    direct pipeline's corresponding pad/FIR stage:
+      Uh (Hs, H): reflect pad (H-1 each side) -> 2x up-FIR along H (flipped SYM6)
+      Dh (H, Ho): 2x down-FIR along H incl. the crop pads (Ho = warp canvas rows)
+      Uw (Ws, W): circular pad -> 2x up-FIR along W (flipped SYM6), Ws = 2W exactly
+      Dw (W, Wo): 2x down-FIR along W incl. the crop pads
+    Indexing is [out, in]. Returned as numpy float32: jit traces embed them as
+    compile-time constants (the eager construction happens once per shape).
+    """
+    with jax.ensure_compile_time_eval():
+        return _warp_chain_mats_impl(H, W)
+
+
+def _warp_chain_mats_impl(H: int, W: int):
+    k = jnp.asarray(SYM6, jnp.float32)
+    kl = len(SYM6)
+    pad_k = kl // 4  # 3
+    kc = jnp.flip(k)
+    up0, up1 = (kl + 2 - 1) // 2, (kl - 2) // 2
+    c = kl  # circular margin along W; the filter never sees a synthetic W edge
+    d_p = -pad_k * 2
+    dn0, dn1 = d_p + (kl - 2 + 1) // 2, d_p + (kl - 2) // 2
+    Ho, Wo = (H + 2 * pad_k) * 2, (W + 2 * pad_k) * 2
+
+    # H chains: basis vectors live along axis -2, responses read off axis -2
+    eh = jnp.eye(H, dtype=jnp.float32)[None, None]  # (1, 1, H, H)
+    xh = _pad_axis(eh, -2, H - 1, H - 1, "reflect")
+    xh = upfirdn2d(xh, kc.reshape(-1, 1), up=(2, 1), pad=(0, 0, up0, up1))
+    Uh = np.asarray(xh[0, 0])  # (Hs, H)
+    eo = jnp.eye(Ho, dtype=jnp.float32)[None, None]
+    xo = upfirdn2d(eo, k.reshape(-1, 1), down=(2, 1), pad=(0, 0, dn0, dn1))
+    Dh = np.asarray(xo[0, 0])  # (H, Ho)
+
+    # W chains: basis vectors along axis -2 rows, the op transforms axis -1
+    ew = jnp.eye(W, dtype=jnp.float32)[None, None]  # (1, 1, W, W)
+    xw = _pad_axis(ew, -1, c, c, "circular")
+    xw = upfirdn2d(xw, kc.reshape(1, -1), up=(1, 2), pad=(up0 - 2 * c, up1 - 2 * c, 0, 0))
+    Uw = np.asarray(xw[0, 0]).T  # (Ws, W)
+    ewo = jnp.eye(Wo, dtype=jnp.float32)[None, None]
+    xwo = upfirdn2d(ewo, k.reshape(1, -1), down=(1, 2), pad=(dn0, dn1, 0, 0))
+    Dw = np.asarray(xwo[0, 0]).T  # (W, Wo)
+    return Uh, Dh, Uw, Dw
+
+
+def _maybe(st, p, mat, prev):
+    """With prob p apply `mat`, else identity; compose onto prev (reference :248-253).
+    `st` is a PerSampleStream (device-count-invariant per-sample draws)."""
+    sel = (st.uniform((1, 1)) < p).astype(mat.dtype)
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)[None]
     return (sel * mat + (1 - sel) * eye) @ prev
 
@@ -262,79 +313,74 @@ class AdaptiveAugment:
         return AdaState(p=p, sign_cum=z, n_pred_cum=z), rt
 
     # ----------------------------------------------------------------- transforms
-    def sample_affine(self, rng, B: int, height: int, width: int, p) -> jnp.ndarray:
-        ks = jax.random.split(rng, 10)
+    def sample_affine(self, st, B: int, height: int, width: int, p) -> jnp.ndarray:
         G = jnp.tile(jnp.eye(3, dtype=jnp.float32), (B, 1, 1))
         ones = jnp.ones((B,), jnp.float32)
         if self.mul["lr_flip"] > 0:
-            flip = jax.random.randint(ks[0], (B,), 0, 2).astype(jnp.float32)
-            G = _maybe(ks[1], p * self.mul["lr_flip"], _s2d(1 - 2 * flip, ones), G)
+            flip = st.randint().astype(jnp.float32)
+            G = _maybe(st, p * self.mul["lr_flip"], _s2d(1 - 2 * flip, ones), G)
         if self.mul["ud_flip"] > 0:
-            flip = jax.random.randint(ks[2], (B,), 0, 2).astype(jnp.float32)
-            G = _maybe(ks[3], p * self.mul["ud_flip"], _s2d(ones, 1 - 2 * flip), G)
+            flip = st.randint().astype(jnp.float32)
+            G = _maybe(st, p * self.mul["ud_flip"], _s2d(ones, 1 - 2 * flip), G)
         if self.mul["int_trans"] > 0:
-            t = jax.random.uniform(ks[4], (2, B), minval=-0.125, maxval=0.125)
+            t = st.uniform((2,), minval=-0.125, maxval=0.125).T
             ty = jnp.round(t[0] * height) * self.h_trans_factor
             tx = jnp.round(t[1] * width)
-            G = _maybe(ks[5], p * self.mul["int_trans"], _t2d(tx, ty), G)
+            G = _maybe(st, p * self.mul["int_trans"], _t2d(tx, ty), G)
         if self.mul["iso_scale"] > 0:
-            s = jnp.exp(jax.random.normal(ks[6], (B,)) * (0.2 * math.log(2.0)))
-            G = _maybe(ks[7], p * self.mul["iso_scale"], _s2d(ones, s), G)
+            s = jnp.exp(st.normal() * (0.2 * math.log(2.0)))
+            G = _maybe(st, p * self.mul["iso_scale"], _s2d(ones, s), G)
         if self.mul["frac_trans"] > 0:
-            t = jax.random.normal(ks[8], (2, B)) * 0.125
+            t = st.normal((2,)).T * 0.125
             ty = t[0] * height * self.h_trans_factor
             tx = t[1] * width
-            G = _maybe(ks[9], p * self.mul["frac_trans"], _t2d(tx, ty), G)
+            G = _maybe(st, p * self.mul["frac_trans"], _t2d(tx, ty), G)
         return G
 
-    def sample_color(self, rng, B: int, p) -> jnp.ndarray:
-        ks = jax.random.split(rng, 10)
+    def sample_color(self, st, B: int, p) -> jnp.ndarray:
         C = jnp.tile(jnp.eye(4, dtype=jnp.float32), (B, 1, 1))
         if self.mul["brightness"] > 0:
-            b = jax.random.normal(ks[0], (B,)) * 0.2
-            C = _maybe(ks[1], p * self.mul["brightness"], _t3d(b, b, b), C)
+            b = st.normal() * 0.2
+            C = _maybe(st, p * self.mul["brightness"], _t3d(b, b, b), C)
         if self.mul["contrast"] > 0:
-            c = jnp.exp(jax.random.normal(ks[2], (B,)) * (0.5 * math.log(2.0)))
-            C = _maybe(ks[3], p * self.mul["contrast"], _s3d(c, c, c), C)
+            c = jnp.exp(st.normal() * (0.5 * math.log(2.0)))
+            C = _maybe(st, p * self.mul["contrast"], _s3d(c, c, c), C)
         if self.mul["luma_flip"] > 0:
-            f = jax.random.randint(ks[4], (B,), 0, 2).astype(jnp.float32)
-            C = _maybe(ks[5], p * self.mul["luma_flip"], _luma_flip(f), C)
+            f = st.randint().astype(jnp.float32)
+            C = _maybe(st, p * self.mul["luma_flip"], _luma_flip(f), C)
         if self.mul["hue"] > 0:
-            theta = jax.random.uniform(ks[6], (B,), minval=-math.pi, maxval=math.pi)
-            C = _maybe(ks[7], p * self.mul["hue"], _rotate3d(theta), C)
+            theta = st.uniform(minval=-math.pi, maxval=math.pi)
+            C = _maybe(st, p * self.mul["hue"], _rotate3d(theta), C)
         if self.mul["saturation"] > 0:
-            s = jnp.exp(jax.random.normal(ks[8], (B,)) * math.log(2.0))
-            C = _maybe(ks[9], p * self.mul["saturation"], _saturation_mat(s), C)
+            s = jnp.exp(st.normal() * math.log(2.0))
+            C = _maybe(st, p * self.mul["saturation"], _saturation_mat(s), C)
         return C
 
     # ----------------------------------------------------------------- warp
     def _geometric(self, img: jnp.ndarray, G: jnp.ndarray) -> jnp.ndarray:
         """2x wavelet upsample -> inverse-affine bilinear warp (wrap W / reflect+zero H)
-        -> 2x wavelet downsample. Static shapes throughout."""
+        -> 2x wavelet downsample. Static shapes throughout.
+
+        PERF (r3): every stage of this chain is LINEAR in the image and factorizes
+        per axis, so it is executed in composed-operator form instead of on 2x/3x-size
+        image intermediates:
+          * the whole H-axis chain (reflect pad -> up-FIR -> bilinear row warp ->
+            down-FIR) collapses into ONE per-sample (H, H) matrix `Ah` built from two
+            row-gathers of the constant up operator and one small matmul with the
+            constant down operator — applied to the image first as a batched einsum;
+          * the W-axis chain then runs on H-row tensors (never the 3H-2-row reflect
+            apron): constant up-FIR matmul (W -> 2W), fractional wrap gather + lerp,
+            constant down-FIR matmul (2W+taps -> W).
+        The old direct pipeline materialized (B, Wo, Ws)/(B, Ho, Hs) one-hot warp
+        matrices (272 MB at B=64 — larger than the images) and four upfirdn passes
+        over up-to-(3H-2)x2W intermediates; measured ~8.6 ms at B=32 f32 on v5e.
+        The composed form is the same linear map (exact up to fp reassociation).
+        """
         B, C, H, W = img.shape
-        k = jnp.asarray(SYM6, img.dtype)
         kl = len(SYM6)
         pad_k = kl // 4  # 3
-
-        # static reflect pad along H (reference clamps its dynamic pad at H-1)
-        py = H - 1
-        img = _pad_axis(img, -2, py, py, "reflect")
-
-        # 2x upsample: W circularly padded by c then cropped (exact ring boundary),
-        # H zero-extended beyond the reflect apron (reference pad arithmetic :496-503)
-        up_pad0, up_pad1 = (kl + 2 - 1) // 2, (kl - 2) // 2
-        c = kl  # circular margin; filter never sees a synthetic W edge
-        # NOTE: ops.upfirdn2d cross-correlates while the reference's upfirdn convolves
-        # (flips); SYM6 is asymmetric, so pass the flipped kernel here and the plain
-        # kernel on the way down (the reference's k/k_flip pair, :474-535).
-        kc = jnp.flip(k)
-        img = _pad_axis(img, -1, c, c, "circular")
-        img = upfirdn2d(
-            img, kc.reshape(1, -1), up=(1, 2),
-            pad=(up_pad0 - 2 * c, up_pad1 - 2 * c, 0, 0),
-        )
-        img = upfirdn2d(img, kc.reshape(-1, 1), up=(2, 1), pad=(0, 0, up_pad0, up_pad1))
-        Hs, Ws = img.shape[-2:]
+        Uh, Dh, Uw, Dw = _warp_chain_mats(H, W)
+        Hs, Ws = Uh.shape[0], Uw.shape[0]
         assert Ws == 2 * W, (Ws, W)
 
         # affine bookkeeping in centered original-pixel coordinates, then conjugations
@@ -363,26 +409,63 @@ class AdaptiveAugment:
         yt = (2.0 * jnp.arange(Ho) + 1.0) / Ho - 1.0
         u = ((Gn[:, 0, 0, None] * xt[None] + Gn[:, 0, 2, None] + 1.0) * Ws - 1.0) / 2.0
         v = ((Gn[:, 1, 1, None] * yt[None] + Gn[:, 1, 2, None] + 1.0) * Hs - 1.0) / 2.0
-        img = _warp_separable(img, u, v)
-        # 2x downsample back to exactly H x W (negative pads crop the pad_k*2 apron)
-        d_p = -pad_k * 2
-        dn0, dn1 = d_p + (kl - 2 + 1) // 2, d_p + (kl - 2) // 2
-        img = upfirdn2d(img, k.reshape(1, -1), down=(1, 2), pad=(dn0, dn1, 0, 0))
-        img = upfirdn2d(img, k.reshape(-1, 1), down=(2, 1), pad=(0, 0, dn0, dn1))
+        dtype = img.dtype
+
+        # composed per-sample H operator: Ah = Dh @ [bilinear row mix of Uh rows]
+        # (grid_sample zeros semantics outside [0, Hs) — same masks as the old Th)
+        v0 = jnp.floor(v)
+        fv = v - v0
+        v0i = v0.astype(jnp.int32)
+        v1i = v0i + 1
+        w0 = (1.0 - fv) * ((v0i >= 0) & (v0i < Hs)).astype(v.dtype)
+        w1 = fv * ((v1i >= 0) & (v1i < Hs)).astype(v.dtype)
+        r0 = jnp.take(Uh, jnp.clip(v0i, 0, Hs - 1), axis=0)  # (B, Ho, H)
+        r1 = jnp.take(Uh, jnp.clip(v1i, 0, Hs - 1), axis=0)
+        M = r0 * w0[..., None] + r1 * w1[..., None]  # (B, Ho, H): warped up-chain
+        Ah = jnp.einsum(
+            "oh,bhi->boi", Dh, M, preferred_element_type=jnp.float32
+        )  # (B, H, H)
+        img = jnp.einsum(
+            "boi,bciw->bcow", Ah.astype(dtype), img,
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+
+        # W chain on H-row tensors: up-FIR matmul -> fractional wrap gather -> down-FIR
+        y = jnp.einsum(
+            "bchw,sw->bchs", img, Uw.astype(dtype), preferred_element_type=jnp.float32
+        ).astype(dtype)  # (B, C, H, Ws)
+        u0 = jnp.floor(u)
+        fu = (u - u0).astype(dtype)[:, None, None, :]
+        i0 = jnp.mod(u0.astype(jnp.int32), Ws)
+        i1 = jnp.mod(u0.astype(jnp.int32) + 1, Ws)
+        g0 = jnp.take_along_axis(y, i0[:, None, None, :], axis=-1)
+        g1 = jnp.take_along_axis(y, i1[:, None, None, :], axis=-1)
+        z = g0 * (1.0 - fu) + g1 * fu  # (B, C, H, Wo)
+        img = jnp.einsum(
+            "bchq,wq->bchw", z, Dw.astype(dtype), preferred_element_type=jnp.float32
+        ).astype(dtype)
         assert img.shape[-2:] == (H, W), img.shape
         return img
 
-    def __call__(self, img: jnp.ndarray, p: jnp.ndarray, rng) -> jnp.ndarray:
-        """Augment a batch (NCHW, float32). `p` is the adaptive strength scalar."""
-        B, C, H, W = img.shape
-        r_aff, r_col, r_filt, r_noise, r_cut = jax.random.split(rng, 5)
+    def __call__(self, img: jnp.ndarray, p: jnp.ndarray, rng, ids=None) -> jnp.ndarray:
+        """Augment a batch (NCHW, float32). `p` is the adaptive strength scalar.
 
-        G = self.sample_affine(r_aff, B, H, W, p)
+        All parameter draws are per-sample, keyed by global sample id (persample.py):
+        augmenting a global batch gives the same result on any mesh size. `ids`
+        overrides the id vector for batches whose rows are not the shard's
+        natural [k*B, (k+1)*B) range (e.g. the trainer's reals++fakes concat).
+        """
+        B, C, H, W = img.shape
+        if ids is None:
+            ids = global_ids(B)
+        st = PerSampleStream(rng, ids)
+
+        G = self.sample_affine(st, B, H, W, p)
         img = self._geometric(img, G)
 
         # color transform (4x4 homogeneous; 1-channel projection for range images,
         # reference :537-545)
-        Cmat = self.sample_color(r_col, B, p)
+        Cmat = self.sample_color(st, B, p)
         flat = img.reshape(B, C, H * W)
         if C == 3:
             flat = Cmat[:, :3, :3] @ flat + Cmat[:, :3, 3:]
@@ -392,44 +475,38 @@ class AdaptiveAugment:
         img = flat.reshape(B, C, H, W)
 
         if self.mul["imgfilter"] > 0:
-            img = self._imgfilter(img, p, r_filt)
+            img = apply_imgfilter(img, self.imgfilter_gains(p, st))
 
         if self.mul["noise"] > 0:
-            k1, k2 = jax.random.split(r_noise)
-            sigma = jnp.abs(jax.random.normal(k1, (B, 1, 1, 1))) * 0.1
-            on = jax.random.uniform(k2, (B, 1, 1, 1)) < self.mul["noise"] * p
+            sigma = jnp.abs(st.normal((1, 1, 1))) * 0.1
+            on = st.uniform((1, 1, 1)) < self.mul["noise"] * p
             sigma = jnp.where(on, sigma, 0.0)
-            img = img + jax.random.normal(jax.random.fold_in(k2, 1), img.shape) * sigma
+            img = img + st.normal(img.shape[1:]) * sigma
 
         if self.mul["cutout"] > 0:
-            k1, k2 = jax.random.split(r_cut)
             size = jnp.full((B, 2, 1, 1, 1), 0.5)
-            on = jax.random.uniform(k1, (B, 1, 1, 1, 1)) < self.mul["cutout"] * p
+            on = st.uniform((1, 1, 1, 1)) < self.mul["cutout"] * p
             size = jnp.where(on, size, 0.0)
-            center = jax.random.uniform(k2, (B, 2, 1, 1, 1))
+            center = st.uniform((2, 1, 1, 1))
             img = img * cutout_mask(center, size, H, W).astype(img.dtype)
 
         return img
 
-    def imgfilter_gains(self, p, rng, B):
+    def imgfilter_gains(self, p, st):
         """Per-sample combined amplification filter Hz' (B, taps): per-band log-normal
         gains with 1/f power normalization (reference :556-584)."""
         num_bands = self.Hz_fbank.shape[0]
+        B = st.keys.shape[0]
         expected_power = jnp.asarray(np.array([10, 1, 1, 1]) / 13, jnp.float32)
         g = jnp.ones((B, num_bands))
         for i, band_strength in enumerate(self.imgfilter_bands):
-            k1, k2 = jax.random.split(jax.random.fold_in(rng, i))
-            t_i = jnp.exp2(jax.random.normal(k1, (B,)) * self.imgfilter_std)
-            on = jax.random.uniform(k2, (B,)) < self.mul["imgfilter"] * p * band_strength
+            t_i = jnp.exp2(st.normal() * self.imgfilter_std)
+            on = st.uniform() < self.mul["imgfilter"] * p * band_strength
             t_i = jnp.where(on, t_i, 1.0)
             t = jnp.ones((B, num_bands)).at[:, i].set(t_i)
             t = t / jnp.sqrt(jnp.sum(expected_power * t**2, axis=-1, keepdims=True))
             g = g * t
         return g @ self.Hz_fbank  # (B, taps)
-
-    def _imgfilter(self, img, p, rng):
-        Hz_prime = self.imgfilter_gains(p, rng, img.shape[0])
-        return apply_imgfilter(img, Hz_prime)
 
 
 def apply_imgfilter(img: jnp.ndarray, Hz_prime: jnp.ndarray) -> jnp.ndarray:

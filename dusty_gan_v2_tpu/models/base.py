@@ -14,6 +14,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..parallel.persample import axis_pmean, global_ids, ps_normal
+
 __all__ = ["GeneratorMixin"]
 
 
@@ -39,7 +41,12 @@ class GeneratorMixin:
         crossover point (reference base.py:65-87)."""
         if style_mixing:
             w1 = mapping_fn(z)
-            z2 = jax.random.normal(self.make_rng("styles"), z.shape, z.dtype)
+            # device-count invariance (parallel/persample.py): the partner latent is a
+            # per-SAMPLE draw keyed by global sample id; the crossover point is a global
+            # SCALAR (same on every shard — the stream key is not axis-folded)
+            z2 = ps_normal(
+                self.make_rng("styles"), global_ids(z.shape[0]), z.shape[1:], z.dtype
+            )
             w2 = mapping_fn(z2)
             # crossover n ~ U{1..num_styles}: first n styles from w1, rest from w2
             n = jax.random.randint(self.make_rng("styles"), (), 1, num_styles + 1)
@@ -71,11 +78,14 @@ class GeneratorMixin:
         )
         if train:
             if not self.is_initializing():
-                batch_mean = jnp.mean(
+                # global-batch mean when a data axis is bound: every shard keeps the
+                # SAME w_avg (the reference instead broadcasts rank 0's buffer at each
+                # DDP forward, base.py:89-97 + trainer.py:76-79)
+                batch_mean = axis_pmean(jnp.mean(
                     jax.lax.stop_gradient(w[:, 0].astype(jnp.float32)),
                     axis=0,
                     keepdims=True,
-                )
+                ))
                 w_avg.value = w_avg.value + (1.0 - self.w_avg_decay) * (
                     batch_mean - w_avg.value
                 )

@@ -8,9 +8,12 @@ from __future__ import annotations
 from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops import gumbel_sigmoid
+from ..ops.gumbel import sample_logistic
+from ..parallel.persample import global_ids, per_sample_keys
 from . import vanilla
 from .base import GeneratorMixin
 
@@ -27,6 +30,13 @@ def apply_raydrop(
     """RayDropModel (reference dusty_v1.py:7-28): sample a hard-but-differentiable drop
     mask from `raydrop_logit` and composite: image = lerp(image, const, 1 - mask)."""
     assert "image" in o and "raydrop_logit" in o
+    if logistic_noise is None and rng is not None:
+        # per-sample keys by global id -> device-count-invariant draws (persample.py)
+        logit = o["raydrop_logit"]
+        keys = per_sample_keys(rng, global_ids(logit.shape[0]))
+        logistic_noise = jax.vmap(
+            lambda k: sample_logistic(k, logit.shape[1:], logit.dtype)
+        )(keys)
     mask = gumbel_sigmoid(
         o["raydrop_logit"],
         rng=rng,

@@ -38,6 +38,7 @@ from ..ops import (
     minibatch_stddev,
     resample,
 )
+from ..parallel.persample import global_ids, ps_uniform
 from .base import GeneratorMixin
 from .dusty_v1 import apply_raydrop
 from .heads import resolve_act
@@ -360,7 +361,7 @@ class SynthesisNetwork(nn.Module):
             # Fourier encoding via an exact trig identity, so the base angle pyramid and
             # sin/cos volumes stay batch-1 (shifting the azimuth commutes with the
             # sin/cos pyramid downsampling exactly: integer +-2^k W-frequencies).
-            shift01 = jax.random.uniform(self.make_rng("aug"), (B,))
+            shift01 = ps_uniform(self.make_rng("aug"), global_ids(B))
             if self.aug_coords_blitting:
                 shift01 = jnp.round(shift01 * W) / W
             shift = shift01 * (2.0 * np.pi)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..parallel.persample import axis_pmean
 from .linear import EqualLRDense
 
 __all__ = ["ModConv2d"]
@@ -155,6 +156,10 @@ class ModConv2d(nn.Module):
                         )
                     else:
                         var = ss / n_sh
+                # global-batch statistic under data parallelism (equal shard sizes:
+                # pmean of per-shard means == the 1-device mean; persample.py). The
+                # reference instead broadcasts rank 0's buffer each DDP forward.
+                var = axis_pmean(var)
                 new = ema_var.value + (1.0 - self.ema_decay) * (
                     jax.lax.stop_gradient(var) - ema_var.value
                 )

@@ -11,6 +11,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..parallel.persample import global_ids, ps_normal
+
 __all__ = ["NoiseInjection"]
 
 
@@ -25,5 +27,6 @@ class NoiseInjection(nn.Module):
             noise = jnp.broadcast_to(fixed_noise.astype(x.dtype), (B, 1, H, W))
         else:
             assert rng is not None, "NoiseInjection needs an rng or fixed_noise"
-            noise = jax.random.normal(rng, (B, 1, H, W), x.dtype)
+            # per-sample keys by global id -> device-count-invariant (persample.py)
+            noise = ps_normal(rng, global_ids(B), (1, H, W), x.dtype)
         return x + weight.astype(x.dtype) * noise

@@ -6,6 +6,7 @@ Equivalents of reference `ops.PixelNorm` / `ops.MinibatchStdDev`
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["pixel_norm", "minibatch_stddev"]
@@ -24,12 +25,33 @@ def minibatch_stddev(
 
     Matches the reference exactly, including its batch grouping convention: the batch is
     reshaped to (group, B//group, ...) so group members are strided B//group apart.
+
+    Under a bound data axis (inside the shard_map train step) the statistic is computed
+    over the GLOBAL batch — group size stays `group`, the strided partition is taken
+    over the all-gathered batch, and each shard slices back its rows. This makes the
+    feature identical to a single-device run on the same global batch (device-count
+    invariance; the reference's per-GPU grouping is batch-placement dependent).
     """
+    from ..parallel.persample import DATA_AXIS, axis_bound
+
+    B, C, H, W = x.shape
+    if axis_bound(DATA_AXIS):
+        xg = jax.lax.all_gather(x, DATA_AXIS, axis=0, tiled=True)
+        yg = _stddev_feature(xg, group, features, alpha)  # (Bg, F, 1, 1)
+        start = jax.lax.axis_index(DATA_AXIS) * B
+        y = jax.lax.dynamic_slice_in_dim(yg, start, B, axis=0)
+    else:
+        y = _stddev_feature(x, group, features, alpha)
+    y = jnp.tile(y, (1, 1, H, W))
+    return jnp.concatenate([x, y.astype(x.dtype)], axis=1)
+
+
+def _stddev_feature(x, group, features, alpha):
+    """Per-sample (B, F, 1, 1) stddev feature, reference grouping convention."""
     B, C, H, W = x.shape
     g = min(B, group)
     y = x.reshape(g, B // g, features, C // features, H, W)
     y = jnp.sqrt(jnp.var(y, axis=0) + alpha)  # biased variance, like torch unbiased=False
     y = jnp.mean(y, axis=(2, 3, 4), keepdims=True)  # (B//g, F, 1, 1, 1)
     y = y[:, :, 0]  # (B//g, F, 1, 1)
-    y = jnp.tile(y, (g, 1, H, W))  # (B, F, H, W)
-    return jnp.concatenate([x, y.astype(x.dtype)], axis=1)
+    return jnp.tile(y, (g, 1, 1, 1))  # (B, F, 1, 1)

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..parallel.persample import axis_pmean, axis_size as _axis_size, global_ids, per_sample_keys
+
 __all__ = [
     "TorchConv2d",
     "BatchNorm2d",
@@ -101,16 +103,25 @@ class BatchNorm2d(nn.Module):
                              lambda: jnp.zeros((self.ch,)))
         var = self.variable("batch_stats", "running_var",
                             lambda: jnp.ones((self.ch,)))
-        # statistics always in float32: under a bf16 compute policy the conv
+        # statistics in at-least-float32: under a bf16 compute policy the conv
         # activations arrive in bf16, but batch mean/var and the running-stat
-        # EMA need full precision (bf16 has ~3 decimal digits)
-        x32 = x.astype(jnp.float32)
+        # EMA need full precision (bf16 has ~3 decimal digits). float64 inputs
+        # keep float64 (the device-count-invariance test runs the whole model in
+        # f64, where invariance is exact instead of ReLU-flip-limited).
+        x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         if train:
             axes = (0, 2, 3)
-            m = jnp.mean(x32, axis=axes)
-            v = jnp.var(x32, axis=axes)
+            # cross-shard moments when a data axis is bound — SyncBatchNorm semantics
+            # (reference train_semseg.py:173): normalize with GLOBAL batch statistics,
+            # so the step is identical on any mesh size (equal shard sizes). Two-pass
+            # (center on the global mean, then pmean the local second moments): the
+            # E[x^2]-m^2 form loses ~3 digits to cancellation and breaks invariance.
+            m = axis_pmean(jnp.mean(x32, axis=axes))
+            v = axis_pmean(
+                jnp.mean(jnp.square(x32 - m.reshape(1, -1, 1, 1)), axis=axes)
+            )
             if not self.is_initializing():
-                n = x.shape[0] * x.shape[2] * x.shape[3]
+                n = x.shape[0] * x.shape[2] * x.shape[3] * _axis_size()
                 unbiased = v * n / max(n - 1, 1)
                 mean.value = (1 - self.momentum) * mean.value + self.momentum * m
                 var.value = (1 - self.momentum) * var.value + self.momentum * unbiased
@@ -209,11 +220,12 @@ class HeadConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if train and self.dropout_p > 0:
-            # Dropout2d: whole channels dropped
-            keep = jax.random.bernoulli(
-                self.make_rng("dropout"), 1.0 - self.dropout_p,
-                (x.shape[0], x.shape[1], 1, 1),
-            )
+            # Dropout2d: whole channels dropped; per-sample keys by global id so the
+            # mask is device-count invariant (parallel/persample.py)
+            keys = per_sample_keys(self.make_rng("dropout"), global_ids(x.shape[0]))
+            keep = jax.vmap(
+                lambda k: jax.random.bernoulli(k, 1.0 - self.dropout_p, (x.shape[1], 1, 1))
+            )(keys)
             x = x * keep / (1.0 - self.dropout_p)
         k = self.kernel_size
 

@@ -31,5 +31,14 @@ def focal_loss(logit, label, gamma: float, alpha=None):
 
 
 def masked_seg_loss(per_pixel_loss, mask):
-    """sum(loss*mask)/sum(mask) (train_semseg.py masked_loss)."""
-    return jnp.sum(per_pixel_loss * mask) / jnp.sum(mask)
+    """sum(loss*mask)/sum(mask) (train_semseg.py masked_loss).
+
+    Under a bound data axis the denominator is the MEAN of the per-shard mask sums:
+    then pmean(per-shard losses) == the global masked mean and pmean(grads) == the
+    global gradient, i.e. the step is device-count invariant. (The reference's DDP
+    instead averages per-GPU masked means with unequal valid-pixel counts — a subtle
+    batch-placement dependence this formulation removes; 1-device semantics are
+    identical since pmean is then the identity.)"""
+    from ..parallel.persample import axis_pmean
+
+    return jnp.sum(per_pixel_loss * mask) / axis_pmean(jnp.sum(mask))

@@ -33,6 +33,7 @@ from ..augment.ada import AdaptiveAugment, AdaState
 from ..models import build_discriminator, build_generator, gan_loss_d, gan_loss_g
 from ..ops.pad import filter2d
 from ..parallel.mesh import DATA_AXIS, make_mesh
+from ..parallel.persample import global_ids, per_sample_keys, ps_normal
 from ..utils import sigmoid_to_tanh
 from .train_state import GANTrainState, d_variables, g_variables
 
@@ -70,13 +71,21 @@ def fetch_reals(batch, min_depth, max_depth, raydrop_const):
     return {"image": x, "raydrop_mask": mask}
 
 
-def warmup_fn(x, rng, dropout_ratio, raydrop_const, blur_kernel=None):
+def warmup_fn(x, rng, dropout_ratio, raydrop_const, blur_kernel=None, ids=None):
     """StyleGAN3-style warmup: optional gaussian blur + input dropout
     (reference trainer.py:234-245). blur_kernel is a fixed-length host-computed kernel
-    (zero taps beyond 3*sigma), so no recompilation as sigma decays."""
+    (zero taps beyond 3*sigma), so no recompilation as sigma decays.
+
+    The dropout mask is drawn per-sample by global id (parallel/persample.py) so the
+    step is device-count invariant; `ids` overrides for concatenated sub-batches."""
     if blur_kernel is not None:
         x = filter2d(x, blur_kernel)
-    keep = jax.random.bernoulli(rng, 1.0 - dropout_ratio, x.shape).astype(x.dtype)
+    if ids is None:
+        ids = global_ids(x.shape[0])
+    keys = per_sample_keys(rng, ids)
+    keep = jax.vmap(
+        lambda k: jax.random.bernoulli(k, 1.0 - dropout_ratio, x.shape[1:])
+    )(keys).astype(x.dtype)
     return keep * x + (1.0 - keep) * raydrop_const
 
 
@@ -242,18 +251,24 @@ class Trainer:
             k = jax.random.split(rng, 4)
             return {"gumbel": k[0], "noise": k[1], "styles": k[2], "aug": k[3]}
 
-        def wu(x, rng, dropout_ratio, blur_kernel):
+        def wu(x, rng, dropout_ratio, blur_kernel, ids=None):
             return warmup_fn(
                 x, rng, dropout_ratio, raydrop_const,
-                blur_kernel if has_blur else None,
+                blur_kernel if has_blur else None, ids=ids,
             )
+
+        n_dev = self.mesh.shape[DATA_AXIS]
+        B_global = B * n_dev
 
         def step_fn(state, batch, rng, it, ema_decay, dropout_ratio, blur_kernel):
             # per-iteration fold happens INSIDE the jit: an eager host-side
             # fold_in costs a remote dispatch round-trip per iteration on
-            # tunnel-attached TPUs (same values as the former host fold)
+            # tunnel-attached TPUs (same values as the former host fold).
+            # The stream key is NOT axis-folded: every per-sample draw below keys
+            # off the sample's GLOBAL id (parallel/persample.py), which makes the
+            # whole step a pure function of (global batch, run key) regardless of
+            # device count — a property DDP lacks (tests/test_parallel.py).
             rng = jax.random.fold_in(rng, it)
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
             keys = jax.random.split(rng, 16)
             metrics = {}
 
@@ -265,7 +280,7 @@ class Trainer:
             # ============================ G phase ============================
             def g_loss_fn(params_G):
                 gv = {"params": params_G, "stats": state.stats_G, "consts": state.consts_G}
-                z = jax.random.normal(keys[0], (B, z_dim))
+                z = ps_normal(keys[0], global_ids(B), (z_dim,))
                 o, mut = G.apply(
                     gv, z, angle, train=True, rngs=g_rngs(keys[1]), mutable=["stats"]
                 )
@@ -295,14 +310,14 @@ class Trainer:
             if do_pl:
                 B_pl = max(B // 2, 1)
                 gv = {"params": params_G, "stats": stats_G, "consts": state.consts_G}
-                z_pl = jax.random.normal(keys[6], (B_pl, z_dim))
+                z_pl = ps_normal(keys[6], global_ids(B_pl), (z_dim,))
                 # style codes (no stats update on this pass)
                 o_w = G.apply(gv, z_pl, angle, train=False, rngs=g_rngs(keys[7]))
                 w = jax.lax.stop_gradient(o_w["w"])
                 img_shape = o_w["image"].shape
-                noise_pl = jax.random.normal(keys[8], img_shape) / math.sqrt(
-                    float(np.prod(img_shape[2:]))
-                )
+                noise_pl = ps_normal(
+                    keys[8], global_ids(B_pl), img_shape[1:]
+                ) / math.sqrt(float(np.prod(img_shape[2:])))
                 pl_rngs = g_rngs(keys[9])
 
                 def pl_loss_fn(params):
@@ -337,7 +352,7 @@ class Trainer:
             gv = {"params": params_G, "stats": stats_G, "consts": state.consts_G}
 
             def d_loss_fn(params_D):
-                z = jax.random.normal(keys[10], (B, z_dim))
+                z = ps_normal(keys[10], global_ids(B), (z_dim,))
                 o, mut = G.apply(
                     gv, z, angle, train=True, rngs=g_rngs(keys[11]), mutable=["stats"]
                 )
@@ -348,8 +363,16 @@ class Trainer:
                 # distributionally identical). D stays separate — minibatch-stddev
                 # statistics must not mix reals with fakes.
                 xcat = jnp.concatenate([x_real, x_fake], axis=0)
-                xcat = wu(xcat, keys[12], dropout_ratio, blur_kernel)
-                xcat = jax.lax.stop_gradient(ada(xcat, state.ada.p, keys[14]))
+                # disjoint id ranges for the two halves: on ANY mesh size the reals
+                # keep ids [0, B_global) and the fakes [B_global, 2*B_global), so the
+                # per-sample warmup/ADA draws match a single-device run exactly
+                ids_cat = jnp.concatenate(
+                    [global_ids(B), global_ids(B, offset=B_global)]
+                )
+                xcat = wu(xcat, keys[12], dropout_ratio, blur_kernel, ids=ids_cat)
+                xcat = jax.lax.stop_gradient(
+                    ada(xcat, state.ada.p, keys[14], ids=ids_cat)
+                )
                 xr, xf = xcat[:B], xcat[B:]
                 y_real = D.apply({"params": params_D}, xr, train=True)
                 y_fake = D.apply({"params": params_D}, xf, train=True)
@@ -369,7 +392,8 @@ class Trainer:
 
             # ============================ R1 reg =============================
             if do_r1:
-                r1_key1, r1_key2 = jax.random.split(keys[9] if not do_pl else keys[8])
+                # keys[13]/[15] are dedicated — keys[8]/[9] are consumed by PL
+                r1_key1, r1_key2 = keys[13], keys[15]
 
                 def r1_loss_fn(params_D_):
                     def d_of_x(x):

@@ -309,8 +309,11 @@ class TestImgfilterNoiseCutout:
     def test_imgfilter_gains_identity_at_p_zero(self):
         """p=0: every band gain stays 1, so Hz' = sum of bank rows = ~delta filter;
         the full imgfilter is then a near-identity (same property as the reference)."""
+        from dusty_gan_v2_tpu.parallel.persample import PerSampleStream, global_ids
+
         ada = make_ada(imgfilter=1)
-        gains = np.asarray(ada.imgfilter_gains(jnp.zeros(()), jax.random.PRNGKey(0), 4))
+        st = PerSampleStream(jax.random.PRNGKey(0), global_ids(4))
+        gains = np.asarray(ada.imgfilter_gains(jnp.zeros(()), st))
         bank_sum = np.asarray(ada.Hz_fbank).sum(0)
         np.testing.assert_allclose(gains, np.tile(bank_sum, (4, 1)), rtol=1e-5, atol=1e-6)
 
@@ -321,17 +324,19 @@ class TestImgfilterNoiseCutout:
     def test_imgfilter_gains_formula(self):
         """Gain accumulation (:556-576): numpy replica of the reference formula driven
         by the same PRNG draws as our implementation."""
+        from dusty_gan_v2_tpu.parallel.persample import PerSampleStream, global_ids
+
         ada = make_ada(imgfilter=1)
         B, p = 16, 0.7
         rng = jax.random.PRNGKey(3)
-        gains = np.asarray(ada.imgfilter_gains(jnp.asarray(p), rng, B))
+        gains = np.asarray(ada.imgfilter_gains(jnp.asarray(p), PerSampleStream(rng, global_ids(B))))
 
         ep = np.array([10, 1, 1, 1]) / 13
         g = np.ones((B, 4))
+        st = PerSampleStream(rng, global_ids(B))
         for i, band_strength in enumerate(ada.imgfilter_bands):
-            k1, k2 = jax.random.split(jax.random.fold_in(rng, i))
-            t_i = np.exp2(np.asarray(jax.random.normal(k1, (B,))) * ada.imgfilter_std)
-            on = np.asarray(jax.random.uniform(k2, (B,))) < ada.mul["imgfilter"] * p * band_strength
+            t_i = np.exp2(np.asarray(st.normal()) * ada.imgfilter_std)
+            on = np.asarray(st.uniform()) < ada.mul["imgfilter"] * p * band_strength
             t_i = np.where(on, t_i, 1.0)
             t = np.ones((B, 4))
             t[:, i] = t_i

@@ -238,9 +238,10 @@ def main():
 
     def step_fn(params, batch_stats, opt_state, batch, rng, it):
         # per-iteration fold happens in-jit (a host-side fold_in costs a remote
-        # dispatch round-trip per step on tunnel-attached TPUs)
+        # dispatch round-trip per step on tunnel-attached TPUs). No axis fold: the
+        # dropout masks key off GLOBAL sample ids (semseg/common.py HeadConv) and
+        # BatchNorm uses cross-shard moments, so the step is device-count invariant.
         rng = jax.random.fold_in(rng, it)
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         # the host ships each modality ONCE (xyz was previously uploaded twice:
         # inside `inputs` and again for the CRF) in compact dtypes; the input
         # concat and dtype restoration happen here on device
@@ -271,7 +272,9 @@ def main():
             loss_fn, has_aux=True
         )(params)
         grads = jax.lax.pmean(grads, DATA_AXIS)
-        # SyncBatchNorm equivalent: average the updated running stats across shards
+        # running stats are already identical across shards (BatchNorm2d normalizes
+        # with cross-shard moments, SyncBatchNorm semantics); pmean kept as a cheap
+        # safety net against drift
         new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
         updates, new_opt = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
