@@ -3,10 +3,18 @@
 Behavioral equivalent of reference `gans/metrics/swd.py:14-144` (itself a port of the
 ProgressiveGAN metric): gaussian pyramid with reflect padding, 7x7 patch descriptors
 (128/image), per-channel standardization, random 1-D projections + sort.
+
+TPU-first notes: the whole metric runs ON DEVICE in two jitted programs — one per-batch
+program producing every pyramid level's patch descriptors (pyramid + patch gather +
+subsample), and one per-level program doing standardization + random projections + sort.
+The eager form dispatched hundreds of small ops per batch, which through a
+tunnel-attached TPU cost ~79 s at 512 images; only the final per-level scalars leave
+the device.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -95,6 +103,26 @@ def _swd(desc1, desc2, dir_repeats, dirs_per_repeat, rng):
     return jnp.mean(jnp.stack(dists))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("num_levels", "patch_size", "num_patches")
+)
+def _batch_descriptors(img, key, num_levels, patch_size, num_patches):
+    """One device program per image batch: Laplacian pyramid + per-level patch
+    descriptors. Returns a tuple of (B, num_patches, C, pH, pW) arrays, one per level."""
+    pyr = laplacian_pyramid(img, num_levels)
+    return tuple(
+        _extract_patches(pyr[lvl], patch_size, num_patches, jax.random.fold_in(key, lvl))
+        for lvl in range(num_levels)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("dir_repeats", "dirs_per_repeat"))
+def _swd_level(d1, d2, rng, dir_repeats, dirs_per_repeat):
+    """One device program per pyramid level: standardize + project + sort + L1.
+    Every level shares the (N, C*pH*pW) descriptor shape, so this compiles once."""
+    return _swd(_finalize(d1), _finalize(d2), dir_repeats, dirs_per_repeat, rng)
+
+
 def compute_swd(
     img1,
     img2,
@@ -120,19 +148,23 @@ def compute_swd(
     for i in range(0, B, batch_size):
         k = jax.random.fold_in(rng, i)
         for d, img in ((desc1, img1), (desc2, img2)):
-            pyr = laplacian_pyramid(jnp.asarray(img[i : i + batch_size]), num_levels)
+            out = _batch_descriptors(
+                jnp.asarray(img[i : i + batch_size]), k,
+                num_levels, tuple(patch_size), num_patches,
+            )
             for lvl in range(num_levels):
-                d[lvl].append(
-                    _extract_patches(pyr[lvl], patch_size, num_patches,
-                                     jax.random.fold_in(k, lvl))
-                )
+                d[lvl].append(out[lvl])
 
-    result = {}
-    for lvl in range(num_levels):
-        d1 = _finalize(jnp.concatenate(desc1[lvl], axis=0))
-        d2 = _finalize(jnp.concatenate(desc2[lvl], axis=0))
-        result[f"swd-{16 << lvl}"] = float(
-            _swd(d1, d2, dir_repeats, dirs_per_repeat, jax.random.fold_in(rng, 777 + lvl))
+    # per-level scores stay on device until the final per-scalar drain
+    scores = [
+        _swd_level(
+            jnp.concatenate(desc1[lvl], axis=0),
+            jnp.concatenate(desc2[lvl], axis=0),
+            jax.random.fold_in(rng, 777 + lvl),
+            dir_repeats, dirs_per_repeat,
         )
+        for lvl in range(num_levels)
+    ]
+    result = {f"swd-{16 << lvl}": float(s) for lvl, s in enumerate(scores)}
     result["swd-mean"] = float(np.mean(list(result.values())))
     return result
