@@ -81,7 +81,7 @@ def main():
         try:
             blur = jnp.zeros((1,))
             lowered = fn.lower(
-                state, batch, jax.random.PRNGKey(0),
+                state, batch, jax.random.PRNGKey(0), np.uint32(iteration0),
                 jnp.asarray(0.999, jnp.float32), jnp.asarray(0.0, jnp.float32), blur,
             )
             ca = lowered.compile().cost_analysis()
