@@ -37,6 +37,7 @@ from ..ops import (
     make_resample,
     minibatch_stddev,
     resample,
+    resample_sumsq,
 )
 from ..parallel.persample import global_ids, ps_uniform
 from .base import GeneratorMixin
@@ -186,19 +187,21 @@ class SynthesisBlock(nn.Module):
         )
 
         conv1_x_op = None
+        conv1_x_stat = None
         if h is not None:
             h = h.astype(dtype)
             if up_plan is not None:
+                # the 1x1 contraction commutes with the (linear, per-channel)
+                # resample — contract at the LOW resolution (4x fewer pixels,
+                # mid_ch <= in_ch channels resampled). The ema_var statistic is
+                # taken on the RESAMPLED input (reference style.py:98-103 on the
+                # conv1 input); in train mode it is computed at the low resolution
+                # via the resample's Gram factors (resample_sumsq, exact up to fp
+                # reassociation) — r2 kept the reference op order in train solely
+                # for this statistic, paying the hi-res contraction 3x per adv step
+                conv1_x_op = lambda y: resample(y, up_plan)
                 if train:
-                    # the ema_var statistic is taken on the resampled input
-                    # (reference style.py:98-103 on the conv1 input), so train mode
-                    # keeps the reference order
-                    h = resample(h, up_plan)
-                else:
-                    # eval: the 1x1 contraction commutes with the (linear,
-                    # per-channel) resample — contract at the LOW resolution
-                    # (4x fewer pixels, mid_ch <= in_ch channels resampled)
-                    conv1_x_op = lambda y: resample(y, up_plan)
+                    conv1_x_stat = resample_sumsq(h, up_plan)
         if self.use_pe:
             pe_in = fourier_out_ch(
                 self.pe_ch, self.pe_type, self.resolution, self.pe_scale_offset
@@ -240,7 +243,8 @@ class SynthesisBlock(nn.Module):
             use_bias=False,
             ema=True,
             name="conv1",
-        )(h, w0, train=train, x_shared=h_pe, shared_rotation=pe_rot, x_op=conv1_x_op)
+        )(h, w0, train=train, x_shared=h_pe, shared_rotation=pe_rot,
+          x_op=conv1_x_op, x_stat=conv1_x_stat)
         if self.use_noise:
             h = NoiseInjection(name="noise1")(
                 h,

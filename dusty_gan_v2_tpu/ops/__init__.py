@@ -12,7 +12,7 @@ from .modconv import ModConv2d
 from .noise import NoiseInjection
 from .normalize import minibatch_stddev, pixel_norm
 from .pad import filter2d, pad2d, pad_ring
-from .resample import ResamplePlan, blur_vh, make_resample, resample
+from .resample import ResamplePlan, blur_vh, make_resample, resample, resample_sumsq
 
 __all__ = [
     "FusedLeakyReLU",
@@ -37,4 +37,5 @@ __all__ = [
     "blur_vh",
     "make_resample",
     "resample",
+    "resample_sumsq",
 ]

@@ -50,6 +50,7 @@ class ModConv2d(nn.Module):
         x_shared=None,
         shared_rotation=None,
         x_op=None,
+        x_stat=None,
         return_weights: bool = False,
     ):
         """Apply the modulated conv.
@@ -73,6 +74,11 @@ class ModConv2d(nn.Module):
            before upsampling (4x fewer pixels in the matmul). Only the 1x1 path;
            x's spatial dims may differ from x_shared's (x_op must produce
            x_shared's resolution).
+        x_stat: optional (sum_sq, count) pair overriding the x-part of the
+           ema_var statistic. The statistic is defined on the LOGICAL conv input
+           (reference style.py:98-103) — x_op(x), not x — so callers using the
+           x_op commute in train mode pass the x_op'd input's statistic computed
+           cheaply at the low resolution (ops.resample.resample_sumsq Gram form).
         shared_rotation: optional (sd, cd) pair of (B, n) per-sample coefficients
            with Cs == 2n; the shared channels are treated as [sin-block, cos-block]
            of a Fourier encoding and the *weight columns* are rotated per sample:
@@ -140,8 +146,14 @@ class ModConv2d(nn.Module):
         if self.ema:
             ema_var = self.variable("stats", "ema_var", lambda: jnp.ones((), jnp.float32))
             if train and not self.is_initializing():
+                if x_stat is not None:
+                    sx, nx = x_stat
+                elif x is not None:
+                    sx, nx = jnp.sum(jnp.square(x.astype(jnp.float32))), x.size
+                else:
+                    sx, nx = None, 0
                 if x_shared is None:
-                    var = jnp.mean(jnp.square(x.astype(jnp.float32)))
+                    var = sx / nx
                 else:
                     # mean of squares over the LOGICAL concat input. A per-sample
                     # phase shift of the [sin, cos] encoding (shared_rotation) is an
@@ -149,10 +161,9 @@ class ModConv2d(nn.Module):
                     # exactly the base encoding's — no per-sample terms.
                     ss = jnp.sum(jnp.square(x_shared.astype(jnp.float32)))
                     n_sh = x_shared.size
-                    if x is not None:
-                        sx = jnp.sum(jnp.square(x.astype(jnp.float32)))
+                    if sx is not None:
                         var = (sx + B * ss / x_shared.shape[0]) / (
-                            x.size + B * n_sh / x_shared.shape[0]
+                            nx + B * n_sh / x_shared.shape[0]
                         )
                     else:
                         var = ss / n_sh

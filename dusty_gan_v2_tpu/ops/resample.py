@@ -20,7 +20,10 @@ from jax import lax
 
 from .pad import _pad_axis
 
-__all__ = ["ResamplePlan", "resample", "make_resample", "blur_vh", "upfirdn2d"]
+__all__ = [
+    "ResamplePlan", "resample", "make_resample", "resample_sumsq",
+    "blur_vh", "upfirdn2d",
+]
 
 
 def upfirdn2d(
@@ -282,6 +285,45 @@ def _resample_matmul(x: jnp.ndarray, plan: ResamplePlan) -> jnp.ndarray:
         "bchp,oh->bcop", y, Hmat.astype(dtype), preferred_element_type=jnp.float32
     ).astype(dtype)
     return y
+
+
+@functools.lru_cache(maxsize=None)
+def _resample_gram(plan: ResamplePlan, H: int, W: int):
+    """Gram factors (G_H, G_W) of the separable resample at input resolution:
+    G_H = Hmat^T Hmat (H, H), G_W = Wmat^T Wmat (W, W), accumulated in float64.
+
+    Since resample(x) = Hmat @ x @ Wmat^T per (b, c) plane,
+        sum(resample(x)^2) == sum(x * (G_H @ x @ G_W^T))
+    — the hi-res mean-square statistic evaluated entirely at the LOW resolution.
+    Also returns the output plane size Hout*Wout (the element count the statistic
+    normalizes by)."""
+    import jax
+
+    with jax.ensure_compile_time_eval():
+        Hmat, Wmat = _resample_matrices(plan, H, W)
+        import numpy as _np
+
+        Hm = _np.asarray(Hmat, _np.float64)
+        Wm = _np.asarray(Wmat, _np.float64)
+        GH = jnp.asarray((Hm.T @ Hm).astype(_np.float32))
+        GW = jnp.asarray((Wm.T @ Wm).astype(_np.float32))
+        return GH, GW, Hm.shape[0] * Wm.shape[0]
+
+
+def resample_sumsq(x: jnp.ndarray, plan: ResamplePlan):
+    """(sum(resample(x, plan)^2), number of resampled elements) WITHOUT materializing
+    the resampled tensor: two small Gram einsums at x's own (low) resolution + one
+    elementwise dot. Exact up to fp reassociation vs summing the squared hi-res
+    output. Used by the train-mode resample→conv1 commute (models/dusty_v2.py):
+    ModConv2d's ema_var statistic is defined on the RESAMPLED conv1 input
+    (reference style.py:98-103), which was the only reason train mode materialized
+    the hi-res input before the 1x1 contraction."""
+    B, C, H, W = x.shape
+    GH, GW, plane = _resample_gram(plan, H, W)
+    x32 = x.astype(jnp.float32)
+    y = jnp.einsum("bchw,vw->bchv", x32, GW, preferred_element_type=jnp.float32)
+    y = jnp.einsum("bchv,uh->bcuv", y, GH, preferred_element_type=jnp.float32)
+    return jnp.sum(x32 * y), B * C * plane
 
 
 @functools.lru_cache(maxsize=None)

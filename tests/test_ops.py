@@ -507,3 +507,49 @@ class TestResampleMatmul:
         g1 = jax.grad(lambda x: jnp.sum(ops.resample(x, plan, "conv") ** 2))(x)
         g2 = jax.grad(lambda x: jnp.sum(ops.resample(x, plan, "matmul") ** 2))(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+class TestResampleSumsq:
+    """resample_sumsq (Gram-factor form at the LOW resolution) must equal
+    sum(resample(x)^2) over the materialized hi-res output — the identity that lets
+    train mode use the resample→conv1 commute while keeping the exact ema_var
+    statistic (models/dusty_v2.py SynthesisBlock)."""
+
+    @pytest.mark.parametrize("ring", [True, False])
+    @pytest.mark.parametrize("shape", [(2, 3, 4, 32), (3, 5, 8, 16), (1, 2, 16, 64)])
+    def test_matches_materialized(self, ring, shape):
+        x = jnp.asarray(rand(*shape))
+        plan = ops.make_resample(up=2, ring=ring, direction="hw")
+        y = ops.resample(x, plan)
+        ref = float(jnp.sum(jnp.square(y.astype(jnp.float32))))
+        got, n = ops.resample_sumsq(x, plan)
+        assert n == y.size
+        np.testing.assert_allclose(float(got), ref, rtol=1e-5)
+
+    def test_modconv_commute_with_stat(self):
+        """ModConv2d(x_op=resample, x_stat=resample_sumsq) == resample AFTER the
+        contraction == the old train order (resample then contract), with the SAME
+        updated ema_var."""
+        B, I, O, M = 3, 6, 5, 7
+        plan = ops.make_resample(up=2, ring=True, direction="hw")
+        layer = ops.ModConv2d(
+            in_ch=I, out_ch=O, mod_ch=M, ksize=1, stride=1, padding=0, ema=True
+        )
+        x = jnp.asarray(rand(B, I, 4, 16))
+        s = jnp.asarray(rand(B, M))
+        x_hi = ops.resample(x, plan)
+        variables = layer.init(jax.random.PRNGKey(0), x_hi, s)
+
+        ref, st_ref = layer.apply(variables, x_hi, s, train=True, mutable=["stats"])
+        got, st_got = layer.apply(
+            variables, x, s, train=True, mutable=["stats"],
+            x_op=lambda y: ops.resample(y, plan),
+            x_stat=ops.resample_sumsq(x, plan),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(st_got["stats"]["ema_var"]), float(st_ref["stats"]["ema_var"]),
+            rtol=1e-5,
+        )
