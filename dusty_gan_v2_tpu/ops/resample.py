@@ -126,6 +126,19 @@ class ResamplePlan:
             self.pw1 = (self.k_w - self.down_w) // 2
 
         self.margin = max(self.ph0, self.ph1, self.pw0, self.pw1)
+        self.normalize = bool(normalize)
+
+    # Value-based identity over the static config so lru_caches keyed on a plan
+    # (e.g. _resample_gram) hit for plans constructed directly, not only for the
+    # interned instances returned by make_resample.
+    def _key(self):
+        return (self.up, self.down, self.window, self.ring, self.normalize, self.direction)
+
+    def __eq__(self, other):
+        return isinstance(other, ResamplePlan) and self._key() == other._key()
+
+    def __hash__(self):
+        return hash(self._key())
 
     def out_shape(self, h: int, w: int) -> Tuple[int, int]:
         oh = (h * self.up_h + self.ph0 + self.ph1 - self.k_h) // self.down_h + 1

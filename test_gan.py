@@ -59,6 +59,14 @@ def main():
     parser.add_argument("--out", default=None, help="write scores JSON here")
     args = parser.parse_args()
     metrics = args.metrics.split(",")
+    if "1nna-emd" in metrics:
+        print(
+            "[test_gan] NOTE: 1nna-emd (in the default metric set to match the "
+            "reference protocol, reference test_gan.py:228-237) is the '>1h' stage "
+            "at the full 2048x2048 protocol on one chip; pass "
+            "--metrics swd,jsd,1nna-cd,fpd,kpd for the documented fast pass.",
+            flush=True,
+        )
 
     init_random_seed(args.seed)
     ckpt = autoload_ckpt(args.ckpt_path)

@@ -509,6 +509,35 @@ class TestResampleMatmul:
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
 
 
+class TestResamplePlanIdentity:
+    """ResamplePlan identity is value-based over the static config, so plan-keyed
+    lru_caches (e.g. the _resample_gram Gram factors) hit for directly-constructed
+    plans, not only for the interned make_resample instances (r3 advisor finding)."""
+
+    def test_eq_hash_value_based(self):
+        from dusty_gan_v2_tpu.ops.resample import ResamplePlan
+
+        a = ResamplePlan(up=2, ring=True, direction="hw")
+        b = ResamplePlan(up=2, ring=True, direction="hw")
+        c = ResamplePlan(up=2, ring=False, direction="hw")
+        assert a == b and hash(a) == hash(b)
+        assert a != c
+        assert a == ops.make_resample(up=2, ring=True, direction="hw")
+
+    def test_gram_cache_hits_for_direct_plans(self):
+        from dusty_gan_v2_tpu.ops.resample import ResamplePlan, _resample_gram
+
+        before = _resample_gram.cache_info()
+        x = jnp.asarray(rand(1, 2, 8, 16))
+        ops.resample_sumsq(x, ResamplePlan(up=2, ring=True, direction="hw"))
+        mid = _resample_gram.cache_info()
+        ops.resample_sumsq(x, ResamplePlan(up=2, ring=True, direction="hw"))
+        after = _resample_gram.cache_info()
+        assert mid.currsize <= before.currsize + 1
+        assert after.currsize == mid.currsize  # second direct plan did not add an entry
+        assert after.hits >= mid.hits + 1
+
+
 class TestResampleSumsq:
     """resample_sumsq (Gram-factor form at the LOW resolution) must equal
     sum(resample(x)^2) over the materialized hi-res output — the identity that lets
