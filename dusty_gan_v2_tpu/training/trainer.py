@@ -236,7 +236,9 @@ class Trainer:
             )
         return self.G.apply(state_vars, z, self.angle, rngs=rngs, **kwargs)
 
-    def _build_step(self, do_pl: bool, do_r1: bool, do_ada: bool) -> Callable:
+    def _build_step(
+        self, do_pl: bool, do_r1: bool, do_ada: bool, skip_warmup: bool = False
+    ) -> Callable:
         G, D, ada = self.G, self.D, self.ada
         angle = self.angle
         B = self.B_local
@@ -251,11 +253,21 @@ class Trainer:
             k = jax.random.split(rng, 4)
             return {"gumbel": k[0], "noise": k[1], "styles": k[2], "aug": k[3]}
 
-        def wu(x, rng, dropout_ratio, blur_kernel, ids=None):
-            return warmup_fn(
-                x, rng, dropout_ratio, raydrop_const,
-                blur_kernel if has_blur else None, ids=ids,
-            )
+        if skip_warmup:
+            # steady-state variant: once warmup has faded (dropout_ratio == 0 and
+            # blur_sigma == 0 — >99% of the reference's 25M-img schedule at
+            # fade_kimg=200) the warmup op is the exact identity (bernoulli(1.0)
+            # keep masks; no/delta blur kernel), so skip the per-sample RNG and
+            # mask work entirely. Each warmup site has its own dedicated key, so
+            # skipping consumes no randomness any other draw depends on.
+            def wu(x, rng, dropout_ratio, blur_kernel, ids=None):
+                return x
+        else:
+            def wu(x, rng, dropout_ratio, blur_kernel, ids=None):
+                return warmup_fn(
+                    x, rng, dropout_ratio, raydrop_const,
+                    blur_kernel if has_blur else None, ids=ids,
+                )
 
         n_dev = self.mesh.shape[DATA_AXIS]
         B_global = B * n_dev
@@ -451,11 +463,13 @@ class Trainer:
         )
         return jax.jit(sharded, donate_argnums=(0,))
 
-    def get_step_fn(self, iteration: int) -> Tuple[Callable, bool, bool, bool]:
+    def get_step_fn(
+        self, iteration: int, skip_warmup: bool = False
+    ) -> Tuple[Callable, bool, bool, bool]:
         do_pl = self.w_pl > 0 and iteration % self.lazy_pl == 0
         do_r1 = self.w_gp > 0 and iteration % self.lazy_gp == 0
         do_ada = iteration % self.lazy_ada == 0
-        key = (do_pl, do_r1, do_ada)
+        key = (do_pl, do_r1, do_ada, skip_warmup)
         if key not in self._step_cache:
             self._step_cache[key] = self._build_step(*key)
         return self._step_cache[key], do_pl, do_r1, do_ada
@@ -467,8 +481,10 @@ class Trainer:
         fold_in happens inside the jit). All host-varying inputs are numpy
         scalars/arrays — eager jnp ops here would each cost a remote dispatch
         round-trip per iteration on tunnel-attached TPUs."""
-        fn, *_ = self.get_step_fn(iteration)
         blur_sigma, dropout_ratio = self.warmup_params(iteration)
+        fn, *_ = self.get_step_fn(
+            iteration, skip_warmup=(dropout_ratio == 0.0 and blur_sigma == 0.0)
+        )
         blur_kernel = make_blur_kernel(blur_sigma, self.blur_init_sigma)
         if blur_kernel is None:
             blur_kernel = np.zeros((1,), np.float32)  # unused placeholder

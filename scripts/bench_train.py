@@ -76,7 +76,10 @@ def main():
         jax.block_until_ready(m)
         dt = (time.perf_counter() - t0) / args.iters
         # FLOPs of the jitted variant via XLA cost analysis
-        fn, *_ = t.get_step_fn(iteration0)
+        blur_sigma, dropout_ratio = t.warmup_params(iteration0)
+        fn, *_ = t.get_step_fn(
+            iteration0, skip_warmup=(dropout_ratio == 0.0 and blur_sigma == 0.0)
+        )
         flops = 0.0
         try:
             blur = jnp.zeros((1,))
@@ -105,9 +108,12 @@ def main():
         return rec
 
     # the shipped schedule: adv-only steps dominate (lazy pl=4, gp=16)
-    timed(3, "adv_only")            # 3 % 4 != 0, 3 % 16 != 0
+    timed(3, "adv_only")            # 3 % 4 != 0, 3 % 16 != 0 (warmup ACTIVE)
     timed(4, "adv+pl+ada")          # pl every 4, ada every 4
     timed(16, "adv+pl+r1+ada")      # r1 every 16
+    # steady state: past the warmup fade (>99% of the 25M-img schedule) the
+    # skip-warmup variant drops the per-sample dropout-mask RNG work
+    timed(1_000_003, "adv_only_steady")
 
     if args.profile:
         with jax.profiler.trace(args.profile):

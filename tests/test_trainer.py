@@ -154,6 +154,29 @@ class TestTrainStep:
         assert "loss/G/path_length" in metrics_all[2]
         assert "stats/ada_rt" in metrics_all[2]
 
+    def test_skip_warmup_variant_is_exact(self, trainer_and_state):
+        """Past the warmup fade (dropout_ratio == 0, blur_sigma == 0) the steady-state
+        step variant skips the warmup op entirely; it must equal the full variant
+        bit-for-bit in expectation (bernoulli(1.0) keep masks are all-ones and each
+        warmup site has its own dedicated rng key, so no other draw shifts)."""
+        t, state = trainer_and_state
+        it = 201  # past fade_kimg=1 at B=8; 201 % 2 == 1, 201 % 4 == 1: adv-only
+        assert t.warmup_params(it) == (0.0, 0.0)
+        rng = np.random.RandomState(3)
+        batch = synth_batch(rng, t.batch_size, RES)
+        key = jax.random.PRNGKey(9)
+        s1, m1 = t.step(fresh(state), batch, key, it)  # auto-selects skip_warmup
+        assert (False, False, False, True) in t._step_cache
+        fn_full = t._build_step(False, False, False, skip_warmup=False)
+        s2, m2 = fn_full(
+            fresh(state), batch, key, np.uint32(it),
+            np.float32(t.ema_decay(it)), np.float32(0.0), np.zeros((1,), np.float32),
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for k in m1:
+            np.testing.assert_array_equal(np.asarray(m1[k]), np.asarray(m2[k]))
+
     def test_fetch_reals_maskless_matches(self):
         """Depth-only batches (upload-bandwidth path): mask == depth > 0 exactly
         under the KITTIRaw contract (channels zeroed outside the mask), incl. a
