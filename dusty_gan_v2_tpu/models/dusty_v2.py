@@ -492,20 +492,33 @@ class ResidualBlock(nn.Module):
     ring: bool = True
 
     @nn.compact
-    def __call__(self, x):
-        blur = make_resample(window=(1, 3, 3, 1), ring=self.ring)
+    def __call__(self, x, blur_fuse: bool = True):
+        from ..ops.blurconv import blur_conv_fusable
+
+        window = (1, 3, 3, 1)
         h = RingConv2d(
             self.in_ch, self.in_ch, 3, 1, 1, use_bias=False, ring=self.ring, name="conv1"
         )(x)
         h = FusedLeakyReLU(self.in_ch, name="bias_act1")(h)
-        h = resample(h, blur)
+        # blur folded into the strided convs (one composite conv per path instead
+        # of blur passes + conv; exact — ops/blurconv.py; 48.7 -> 32.3 ms trunk
+        # fwd+dgrad at B=128 bf16, scripts/bench_dfuse.py). The composite has 4x
+        # the conv FLOPs, so it only wins on dgrad-only/forward paths — callers
+        # that need D WEIGHT grads (D phase, R1) pass blur_fuse=False.
+        fuse = blur_fuse and blur_conv_fusable(h.shape, 3, 2, 1, self.ring, "replicate")
+        bw = window if fuse else None
+        if not fuse:
+            blur = make_resample(window=window, ring=self.ring)
+            h = resample(h, blur)
         h = RingConv2d(
-            self.in_ch, self.out_ch, 3, 2, 1, use_bias=False, ring=self.ring, name="conv2"
+            self.in_ch, self.out_ch, 3, 2, 1, use_bias=False, ring=self.ring,
+            blur_window=bw, name="conv2",
         )(h)
         h = FusedLeakyReLU(self.out_ch, name="bias_act2")(h)
-        s = resample(x, blur)
+        s = x if fuse else resample(x, blur)
         s = RingConv2d(
-            self.in_ch, self.out_ch, 1, 2, 0, use_bias=False, ring=self.ring, name="skip"
+            self.in_ch, self.out_ch, 1, 2, 0, use_bias=False, ring=self.ring,
+            blur_window=bw, name="skip",
         )(s)
         return (h + s) / math.sqrt(2.0)
 
@@ -527,7 +540,7 @@ class Discriminator(nn.Module):
     remat: bool = False  # rematerialize residual blocks (large-batch HBM relief)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, blur_fuse: bool = True):
         from ..ops import EqualLRConv2d, blur_vh
 
         res_in = tuple(self.resolution)
@@ -556,10 +569,14 @@ class Discriminator(nn.Module):
         i += 1
         h = FusedLeakyReLU(ch(0), name="stem_act")(h.astype(layer_dtype(i)))
         i += 1
-        rb_cls = nn.checkpoint(ResidualBlock) if self.remat else ResidualBlock
+        rb_cls = (
+            nn.checkpoint(ResidualBlock, static_argnums=(2,))
+            if self.remat
+            else ResidualBlock
+        )
         for j in range(n_down):
             h = rb_cls(ch(j), ch(j + 1), self.ring, name=f"res{j}")(
-                h.astype(layer_dtype(i))
+                h.astype(layer_dtype(i)), blur_fuse
             )
             i += 1
 

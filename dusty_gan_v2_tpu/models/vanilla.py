@@ -187,7 +187,9 @@ class Discriminator(nn.Module):
     ring: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, blur_fuse: bool = True):
+        # blur_fuse is accepted for trainer-API uniformity (dusty_v2's D gates
+        # its blur->conv composite per phase); the vanilla D has no blur sites.
         ch = lambda i: min(self.ch_base << i, self.ch_max)
         res_out = (self.resolution[0] >> 4, self.resolution[1] >> 4)
         h = blur_vh(x, window=(1, 2, 1), ring=self.ring)

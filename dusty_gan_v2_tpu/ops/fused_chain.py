@@ -37,8 +37,10 @@ __all__ = ["fused_act_resample", "pallas_resample"]
 
 def _pick_tile(n_planes: int, h: int, w: int, ho: int, wo: int) -> int:
     """Planes per grid step: target ~1 MB of input tile in VMEM, power-of-two,
-    dividing the plane count."""
-    target = max(1, (1 << 20) // max(h * w * 2, 1))
+    dividing the plane count. Capped at 8 — the kernel body is a static Python
+    unroll over the planes (Mosaic needs plain 2-D matmuls), so P is also the
+    unroll factor."""
+    target = min(8, max(1, (1 << 20) // max(h * w * 2, 1)))
     p = 1
     while p * 2 <= target and n_planes % (p * 2) == 0:
         p *= 2
@@ -55,27 +57,28 @@ def _fwd_call(negative_slope: float, scale: float, P: int, H: int, W: int,
     dtype = jnp.dtype(dtype_name)
 
     def kernel(x_ref, b_ref, wm_ref, hm_ref, o_ref):
-        if with_act:
-            x = x_ref[:].astype(jnp.float32)  # (P, H, W)
-            b = b_ref[:].astype(jnp.float32)  # (P, 1)
-            y = x + b[:, :, None]
-            y = jnp.where(y >= 0, y, y * negative_slope) * scale
-            y = y.astype(dtype)
-        else:
-            y = x_ref[:]
-        # W pass: (P*H, W) @ (W, Wo) on the MXU
-        z = jax.lax.dot_general(
-            y.reshape(P * H, W), wm_ref[:],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype).reshape(P, H, Wo)
-        # H pass: batched (Ho, H) x (P, H, Wo)
-        o = jax.lax.dot_general(
-            hm_ref[:], z,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Ho, P, Wo)
-        o_ref[:] = jnp.swapaxes(o, 0, 1).astype(dtype)
+        # Per-plane 2-D matmuls: Mosaic has no lowering for collapsing (H, W)
+        # into one vector dim ("unsupported shape cast") or for the 3-D
+        # batched-dot transpose, so the P-loop stays a static Python unroll of
+        # plain (rows, cols) MXU ops.
+        for p in range(P):
+            if with_act:
+                x = x_ref[p].astype(jnp.float32)  # (H, W)
+                y = x + b_ref[p, 0].astype(jnp.float32)  # scalar from SMEM
+                y = jnp.where(y >= 0, y, y * negative_slope) * scale
+                y = y.astype(dtype)
+            else:
+                y = x_ref[p]
+            # W pass: (H, W) @ (W, Wo)
+            z = jax.lax.dot_general(
+                y, wm_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+            # H pass: (Ho, H) @ (H, Wo)
+            o_ref[p] = jax.lax.dot_general(
+                hm_ref[:], z, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
 
     def call(x3, b2, wmT, hm, n_planes):
         grid = (n_planes // P,)
@@ -85,7 +88,8 @@ def _fwd_call(negative_slope: float, scale: float, P: int, H: int, W: int,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((P, H, W), lambda i: (i, 0, 0)),
-                pl.BlockSpec((P, 1), lambda i: (i, 0)),
+                pl.BlockSpec((P, 1), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((W, Wo), lambda i: (0, 0)),
                 pl.BlockSpec((Ho, H), lambda i: (0, 0)),
             ],
@@ -105,24 +109,23 @@ def _bwd_call(negative_slope: float, scale: float, P: int, H: int, W: int,
     dtype = jnp.dtype(dtype_name)
 
     def kernel(g_ref, x_ref, b_ref, wm_ref, hm_ref, dx_ref):
-        g = g_ref[:]  # (P, Ho, Wo)
-        # adjoint H pass: (H, Ho) x (P, Ho, Wo) -> (H, P, Wo)
-        t = jax.lax.dot_general(
-            hm_ref[:], g, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
-        t = jnp.swapaxes(t, 0, 1)  # (P, H, Wo)
-        # adjoint W pass: (P*H, Wo) @ (Wo, W)
-        gy = jax.lax.dot_general(
-            t.reshape(P * H, Wo), wm_ref[:],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(P, H, W)
-        x = x_ref[:].astype(jnp.float32)
-        b = b_ref[:].astype(jnp.float32)
-        pre = x + b[:, :, None]
-        mask = jnp.where(pre >= 0, scale, scale * negative_slope)
-        dx_ref[:] = (gy * mask).astype(dtype)
+        # Per-plane 2-D matmuls (see _fwd_call: Mosaic rejects the collapsed
+        # reshape / 3-D dot transpose forms).
+        for p in range(P):
+            g = g_ref[p]  # (Ho, Wo)
+            # adjoint H pass: (H, Ho) @ (Ho, Wo)
+            t = jax.lax.dot_general(
+                hm_ref[:], g, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+            # adjoint W pass: (H, Wo) @ (Wo, W)
+            gy = jax.lax.dot_general(
+                t, wm_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pre = x_ref[p].astype(jnp.float32) + b_ref[p, 0].astype(jnp.float32)
+            mask = jnp.where(pre >= 0, scale, scale * negative_slope)
+            dx_ref[p] = (gy * mask).astype(dtype)
 
     def call(g3, x3, b2, wmT_adj, hm_adj, n_planes):
         grid = (n_planes // P,)
@@ -133,7 +136,8 @@ def _bwd_call(negative_slope: float, scale: float, P: int, H: int, W: int,
             in_specs=[
                 pl.BlockSpec((P, Ho, Wo), lambda i: (i, 0, 0)),
                 pl.BlockSpec((P, H, W), lambda i: (i, 0, 0)),
-                pl.BlockSpec((P, 1), lambda i: (i, 0)),
+                pl.BlockSpec((P, 1), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((Wo, W), lambda i: (0, 0)),
                 pl.BlockSpec((H, Ho), lambda i: (0, 0)),
             ],

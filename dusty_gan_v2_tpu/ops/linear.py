@@ -75,6 +75,9 @@ class EqualLRConv2d(nn.Module):
     # input arrives UNPADDED when set
     ring_fast: bool = False
     ring_fast_mode: str = "replicate"  # H pad mode of the fast path
+    # fold a preceding FIR blur into this conv (ops/blurconv.py); input arrives
+    # UNPADDED and UNBLURRED when set — the module computes conv(blur(x))
+    blur_window: Tuple[float, ...] = None
 
     @nn.compact
     def __call__(self, x):
@@ -84,7 +87,12 @@ class EqualLRConv2d(nn.Module):
         )
         scale = 1.0 / math.sqrt(self.in_ch * kh * kw)
         gain_ = self.gain * self.lr_mul
-        if self.ring_fast:
+        if self.blur_window is not None:
+            from .blurconv import blur_conv1x1s2_ring, blur_conv3x3s2_ring
+
+            fused = blur_conv3x3s2_ring if kh == 3 else blur_conv1x1s2_ring
+            y = fused(x, w * scale, self.blur_window)
+        elif self.ring_fast:
             y = conv_ring_fast(
                 x, (w * scale).astype(x.dtype), self.stride, self.ring_fast_mode
             )
@@ -172,6 +180,9 @@ class RingConv2d(nn.Module):
     equal_lr: bool = True
     gain: float = 1.0
     lr_mul: float = 1.0
+    # fold a preceding FIR blur into the conv (ops/blurconv.py); caller passes
+    # the UNBLURRED input
+    blur_window: Tuple[float, ...] = None
 
     @nn.compact
     def __call__(self, x):
@@ -187,7 +198,15 @@ class RingConv2d(nn.Module):
             and not (self.kernel_size == 4 and self.stride == 1)
             and (self.stride == 1 or (x.shape[-1] % 2 == 0 and x.shape[-2] % 2 == 0))
         )
-        if not fast and self.padding != 0:
+        if self.blur_window is not None:
+            from .blurconv import blur_conv_fusable
+
+            assert blur_conv_fusable(
+                x.shape, self.kernel_size, self.stride, self.padding,
+                self.ring, self.pad_mode,
+            ), "blur_window set on a non-fusable conv site"
+            fast = False
+        if not fast and self.blur_window is None and self.padding != 0:
             x = pad2d(x, self.padding, ring=self.ring, mode=self.pad_mode)
         assert self.equal_lr, "non-equal-LR conv not used by any reference model"
         return EqualLRConv2d(
@@ -200,5 +219,6 @@ class RingConv2d(nn.Module):
             lr_mul=self.lr_mul,
             ring_fast=fast,
             ring_fast_mode=self.pad_mode,
+            blur_window=self.blur_window,
             name="conv",
         )(x)

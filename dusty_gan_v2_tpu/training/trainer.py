@@ -299,11 +299,19 @@ class Trainer:
                 x_fake = o["image"]
                 x_fake = wu(x_fake, keys[2], dropout_ratio, blur_kernel)
                 x_fake = ada(x_fake, state.ada.p, keys[3])
-                y_fake = D.apply({"params": state.params_D}, x_fake, train=True)
+                # blur_fuse=False even here (dgrad-only): the composite wins the
+                # standalone trunk bench but consistently LOSES ~4% inside the
+                # full step (in-process A/B/A/B, scripts/bench_train.py
+                # --ab_blurconv; BASELINE.md r4)
+                y_fake = D.apply(
+                    {"params": state.params_D}, x_fake, train=True, blur_fuse=False
+                )
                 if use_real_in_g:
                     xr = wu(x_real, keys[4], dropout_ratio, blur_kernel)
                     xr = jax.lax.stop_gradient(ada(xr, state.ada.p, keys[5]))
-                    y_real = D.apply({"params": state.params_D}, xr, train=True)
+                    y_real = D.apply(
+                        {"params": state.params_D}, xr, train=True, blur_fuse=False
+                    )
                 else:
                     y_real = None
                 loss = w_gan * gan_loss_g(y_real, y_fake, metric)
@@ -386,8 +394,11 @@ class Trainer:
                     ada(xcat, state.ada.p, keys[14], ids=ids_cat)
                 )
                 xr, xf = xcat[:B], xcat[B:]
-                y_real = D.apply({"params": params_D}, xr, train=True)
-                y_fake = D.apply({"params": params_D}, xf, train=True)
+                # blur_fuse=False: this phase takes D WEIGHT grads, where the
+                # blur->conv composite's 4x conv FLOPs lose to the unfused pair
+                # (ops/blurconv.py cost model; full-step A/B in BASELINE.md)
+                y_real = D.apply({"params": params_D}, xr, train=True, blur_fuse=False)
+                y_fake = D.apply({"params": params_D}, xf, train=True, blur_fuse=False)
                 loss = w_gan * gan_loss_d(y_real, y_fake, metric)
                 return loss, (mut["stats"], y_real, y_fake)
 
@@ -411,7 +422,11 @@ class Trainer:
                     def d_of_x(x):
                         xx = wu(x, r1_key1, dropout_ratio, blur_kernel)
                         xx = ada(xx, state.ada.p, r1_key2)
-                        return jnp.sum(D.apply({"params": params_D_}, xx, train=True))
+                        # blur_fuse=False: R1 differentiates w.r.t. D params too
+                        return jnp.sum(
+                            D.apply({"params": params_D_}, xx, train=True,
+                                    blur_fuse=False)
+                        )
 
                     g = jax.grad(d_of_x)(x_real)
                     penalty = jnp.mean(jnp.sum(jnp.square(g), axis=(1, 2, 3)))

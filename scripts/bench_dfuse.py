@@ -144,6 +144,20 @@ def main():
         )
         return (h + s) * float(1 / np.sqrt(2.0))
 
+    def block_exact(x, p):
+        # production fused path (ops/blurconv.py): composite conv + ring/replicate
+        # boundary corrections + band recomputes — exact, unlike block_composite
+        from dusty_gan_v2_tpu.ops.blurconv import (
+            blur_conv1x1s2_ring, blur_conv3x3s2_ring,
+        )
+
+        h = conv_ring_fast(x, p["w1"], (1, 1))
+        h = fused_leaky_relu(h, p["b1"])
+        h = blur_conv3x3s2_ring(h, p["w2"])
+        h = fused_leaky_relu(h, p["b2"])
+        s = blur_conv1x1s2_ring(x, p["ws"])
+        return (h + s) * float(1 / np.sqrt(2.0))
+
     def block_noact(x, p):
         # acts stripped (timing only): measures what the elementwise passes cost,
         # i.e. whether XLA already fuses them away
@@ -168,9 +182,10 @@ def main():
 
     trunks = {
         "base": trunk(lambda h, i: block_base(h, params[i])),
+        "exact": trunk(lambda h, i: block_exact(h, params[i])),
+        "composite": trunk(lambda h, i: block_composite(h, params[i], *comp[i])),
         "pallas": trunk(lambda h, i: block_pallas(h, params[i])),
         "conv_blur": trunk(lambda h, i: block_convblur(h, params[i])),
-        "composite": trunk(lambda h, i: block_composite(h, params[i], *comp[i])),
         "noact": trunk(lambda h, i: block_noact(h, params[i])),
     }
 

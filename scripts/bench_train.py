@@ -40,6 +40,12 @@ def main():
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--profile", default=None,
                         help="capture an xprof trace of a few steps into this dir")
+    parser.add_argument("--only", default=None,
+                        help="time a single named variant (A/B runs)")
+    parser.add_argument("--ab_blurconv", action="store_true",
+                        help="time --only with D blur-conv fusion on/off/on/off "
+                             "IN ONE PROCESS (same device session, no cross-run "
+                             "variance)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize G blocks / D resblocks (HBM relief)")
     args = parser.parse_args()
@@ -108,12 +114,31 @@ def main():
         return rec
 
     # the shipped schedule: adv-only steps dominate (lazy pl=4, gp=16)
-    timed(3, "adv_only")            # 3 % 4 != 0, 3 % 16 != 0 (warmup ACTIVE)
-    timed(4, "adv+pl+ada")          # pl every 4, ada every 4
-    timed(16, "adv+pl+r1+ada")      # r1 every 16
-    # steady state: past the warmup fade (>99% of the 25M-img schedule) the
-    # skip-warmup variant drops the per-sample dropout-mask RNG work
-    timed(1_000_003, "adv_only_steady")
+    variants = {
+        "adv_only": 3,              # 3 % 4 != 0, 3 % 16 != 0 (warmup ACTIVE)
+        "adv+pl+ada": 4,            # pl every 4, ada every 4
+        "adv+pl+r1+ada": 16,        # r1 every 16
+        # steady state: past the warmup fade (>99% of the 25M-img schedule) the
+        # skip-warmup variant drops the per-sample dropout-mask RNG work
+        "adv_only_steady": 1_000_003,
+    }
+    if args.ab_blurconv:
+        import os
+
+        name = args.only or "adv_only_steady"
+        it = variants[name]
+        for mode in ("on", "off", "on2", "off2"):
+            if mode.startswith("off"):
+                os.environ["DUSTY_TPU_DISABLE_BLURCONV"] = "1"
+            else:
+                os.environ.pop("DUSTY_TPU_DISABLE_BLURCONV", None)
+            t = Trainer(cfg, mesh=mesh)
+            state = t.init_state(jax.random.PRNGKey(0))
+            timed(it, f"{name}[blurconv_{mode}]")
+        return
+    for name, it in variants.items():
+        if args.only is None or name == args.only:
+            timed(it, name)
 
     if args.profile:
         with jax.profiler.trace(args.profile):
