@@ -25,11 +25,31 @@ __all__ = [
     "DeconvReLU",
     "HeadConv",
     "max_pool2d",
+    "set_max_pool_impl",
+    "set_bn_one_pass",
     "unfold_neighbors",
     "setup_in_ch",
     "trunc_normal_init",
     "xavier_uniform_init",
 ]
+
+# Trace-time implementation switches (exact reformulations, measured on-chip by
+# scripts/bench_semseg_parts.py; see BASELINE.md semseg section). Both selections
+# are read while tracing, so flipping them requires a re-jit — the production
+# CLIs set them once at startup.
+_POOL_IMPL = "reduce_window"  # "reduce_window" | "shift"
+_BN_ONE_PASS = False
+
+
+def set_max_pool_impl(impl: str):
+    global _POOL_IMPL
+    assert impl in ("reduce_window", "shift"), impl
+    _POOL_IMPL = impl
+
+
+def set_bn_one_pass(flag: bool):
+    global _BN_ONE_PASS
+    _BN_ONE_PASS = bool(flag)
 
 
 def setup_in_ch(inputs):
@@ -117,9 +137,26 @@ class BatchNorm2d(nn.Module):
             # (center on the global mean, then pmean the local second moments): the
             # E[x^2]-m^2 form loses ~3 digits to cancellation and breaks invariance.
             m = axis_pmean(jnp.mean(x32, axis=axes))
-            v = axis_pmean(
-                jnp.mean(jnp.square(x32 - m.reshape(1, -1, 1, 1)), axis=axes)
-            )
+            if _BN_ONE_PASS:
+                # One-pass moments: center the second moment on the RUNNING mean —
+                # a constant c, so mean(x) and mean((x-c)^2) are independent
+                # reductions and XLA multi-output fusion reads the activation ONCE
+                # (the m-centered form above forces a second pass because v depends
+                # on m). v = E[(x-c)^2] - (m-c)^2 is the same value and the same
+                # analytic x-gradient (d/dx_i = 2(x_i-m)/N) as the two-pass form;
+                # unlike the naive c=0 E[x^2]-m^2 form the cancellation term
+                # (m-c)^2 tracks ~0 because c follows m, so no precision digits
+                # are lost. Per-shard means then pmean keeps the value identical
+                # on any mesh size (device-count invariance preserved).
+                c = lax.stop_gradient(mean.value).astype(x32.dtype)
+                ex2c = axis_pmean(
+                    jnp.mean(jnp.square(x32 - c.reshape(1, -1, 1, 1)), axis=axes)
+                )
+                v = jnp.maximum(ex2c - jnp.square(m - c), 0.0)
+            else:
+                v = axis_pmean(
+                    jnp.mean(jnp.square(x32 - m.reshape(1, -1, 1, 1)), axis=axes)
+                )
             if not self.is_initializing():
                 n = x.shape[0] * x.shape[2] * x.shape[3] * _axis_size()
                 unbiased = v * n / max(n - 1, 1)
@@ -251,10 +288,54 @@ class HeadConv(nn.Module):
         return y + b.reshape(1, -1, 1, 1).astype(x.dtype)
 
 
-def max_pool2d(x, kernel=3, stride=(1, 2), padding=1):
-    """torch MaxPool2d(kernel, stride, padding) with -inf padding."""
+def _sliding_max_1d(x, k: int, axis: int):
+    """Stride-1 sliding max over a k-window along `axis` (valid positions only:
+    output length L-k+1) via shift-doubling: max over window 2w = max of two
+    w-windows offset by w, and any k in (w, 2w] = max of two w-windows offset by
+    k-w (overlap is harmless for max). ceil(log2 k)(+1) pairwise maxima replace a
+    k-tap reduce_window, and — the real win — the VJP is a chain of elementwise
+    selects instead of a select_and_scatter."""
+
+    def sl(a, start, length):
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(start, start + length)
+        return a[tuple(idx)]
+
+    m, w = x, 1
+    while 2 * w <= k:
+        m = jnp.maximum(sl(m, 0, m.shape[axis] - w), sl(m, w, m.shape[axis] - w))
+        w *= 2
+    if w < k:
+        d = k - w
+        m = jnp.maximum(sl(m, 0, m.shape[axis] - d), sl(m, d, m.shape[axis] - d))
+    return m
+
+
+def max_pool2d(x, kernel=3, stride=(1, 2), padding=1, impl=None):
+    """torch MaxPool2d(kernel, stride, padding) with -inf padding.
+
+    impl "shift" (or the module default set via set_max_pool_impl) computes the
+    stride-1 sliding max separably per axis with _sliding_max_1d and then
+    subsamples — value-exact vs reduce_window (max is separable; -inf padding
+    never wins). Gradient caveat: at EXACT ties inside a window, reduce_window's
+    select_and_scatter routes the cotangent to one winner while the pairwise-max
+    chain may split it across tied elements — a subgradient choice with no
+    bearing on correctness (torch itself picks a different winner than XLA).
+    """
     if isinstance(stride, int):
         stride = (stride, stride)
+    if impl is None:
+        impl = _POOL_IMPL
+    if impl == "shift":
+        neg = np.asarray(-np.inf, x.dtype)
+        xp = jnp.pad(
+            x,
+            ((0, 0), (0, 0), (padding, padding), (padding, padding)),
+            constant_values=neg,
+        )
+        m = _sliding_max_1d(xp, kernel, axis=2)
+        m = _sliding_max_1d(m, kernel, axis=3)
+        return m[:, :, :: stride[0], :: stride[1]]
     return lax.reduce_window(
         x,
         np.asarray(-np.inf, x.dtype),  # concrete scalar in x's dtype (bf16-safe);

@@ -356,7 +356,25 @@ class TestDeviceCountInvariance:
     BN+ReLU stack at f32, not a parallelism bug; f64 removes the flips and
     exposes the real algorithmic property."""
 
-    def test_one_vs_eight_devices(self):
+    @pytest.mark.parametrize("bn_one_pass,pool_impl", [
+        (False, "reduce_window"),  # production defaults
+        (True, "shift"),           # one-pass BN moments + shift-doubling maxpool
+    ])
+    def test_one_vs_eight_devices(self, bn_one_pass, pool_impl):
+        from jax import enable_x64
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from dusty_gan_v2_tpu.semseg import common as C
+
+        C.set_bn_one_pass(bn_one_pass)
+        C.set_max_pool_impl(pool_impl)
+        try:
+            self._run_invariance()
+        finally:
+            C.set_bn_one_pass(False)
+            C.set_max_pool_impl("reduce_window")
+
+    def _run_invariance(self):
         from jax import enable_x64
         from jax.sharding import Mesh, PartitionSpec as P
 
@@ -504,3 +522,80 @@ class TestSqueezeNetPretrainedInit:
         joblib.dump(bad, p)
         with pytest.raises(ValueError):
             load_squeezenet_v11(str(p))
+
+
+class TestImplReformulations:
+    """Exactness of the trace-time implementation switches in semseg/common.py:
+    the shift-doubling sliding max (vs reduce_window AND vs torch MaxPool2d) and
+    the one-pass BN moments (same value/stats, analytically identical x-gradient
+    — diffs are fp reassociation only)."""
+
+    @pytest.mark.parametrize("k,stride,pad", [
+        (7, (1, 1), 3),   # CAM context pool
+        (3, (1, 2), 1),   # encoder W-stride downsample
+        (3, (2, 2), 1),
+        (2, (2, 2), 0),
+        (4, (1, 3), 2),
+    ])
+    def test_max_pool_shift_exact(self, k, stride, pad):
+        from dusty_gan_v2_tpu.semseg.common import max_pool2d
+
+        x = RNG.randn(2, 5, 16, 33).astype(np.float32)
+        ref = torch.nn.functional.max_pool2d(
+            torch.from_numpy(x), k, stride, pad
+        ).numpy()
+        a = max_pool2d(jnp.asarray(x), k, stride, pad, impl="reduce_window")
+        b = max_pool2d(jnp.asarray(x), k, stride, pad, impl="shift")
+        np.testing.assert_array_equal(np.asarray(a), ref)
+        np.testing.assert_array_equal(np.asarray(b), ref)
+
+        # gradient parity on tie-free input (continuous — ties have prob 0)
+        ga = jax.grad(
+            lambda t: (max_pool2d(t, k, stride, pad, impl="reduce_window") ** 2).sum()
+        )(jnp.asarray(x))
+        gb = jax.grad(
+            lambda t: (max_pool2d(t, k, stride, pad, impl="shift") ** 2).sum()
+        )(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_bn_one_pass_matches_two_pass(self):
+        from dusty_gan_v2_tpu.semseg import common as C
+
+        x = jnp.asarray((RNG.randn(8, 16, 4, 6) * 3 + 0.7).astype(np.float32))
+        # seed running stats away from (0, 1) so the centered form's constant c
+        # actually displaces the second moment
+        stats = {"running_mean": jnp.full((16,), 0.5),
+                 "running_var": jnp.full((16,), 2.0)}
+
+        def run(one_pass):
+            C.set_bn_one_pass(one_pass)
+            try:
+                bn = C.BatchNorm2d(16, momentum=0.01)
+                params = bn.init(jax.random.PRNGKey(0), x, train=True)["params"]
+
+                def f(p, xx):
+                    out, mut = bn.apply(
+                        {"params": p, "batch_stats": stats}, xx,
+                        train=True, mutable=["batch_stats"],
+                    )
+                    return (out ** 2).sum(), mut["batch_stats"]
+
+                (y, st), g = jax.value_and_grad(f, argnums=(0, 1), has_aux=True)(
+                    params, x
+                )
+                return y, st, g
+            finally:
+                C.set_bn_one_pass(False)
+
+        y1, s1, g1 = run(False)
+        y2, s2, g2 = run(True)
+        np.testing.assert_allclose(float(y1), float(y2), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+        # gradients: identical analytic form; fp diffs scale with the cotangent
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(a).max(), 1.0)
+            np.testing.assert_allclose(a / scale, b / scale, atol=3e-5)

@@ -88,6 +88,16 @@ def _resize_drop_map(drop, shape):
 
 
 def build_model(cfg):
+    # trace-time implementation switches (value-exact reformulations, measured by
+    # scripts/bench_semseg_parts.py — see BASELINE.md semseg section):
+    #   arch.pool_impl:  "reduce_window" | "shift"
+    #   arch.bn_one_pass: true | false
+    from dusty_gan_v2_tpu.semseg.common import set_bn_one_pass, set_max_pool_impl
+
+    if cfg.arch.get("pool_impl"):
+        set_max_pool_impl(str(cfg.arch.pool_impl))
+    if cfg.arch.get("bn_one_pass") is not None:
+        set_bn_one_pass(bool(cfg.arch.bn_one_pass))
     kwargs = dict(
         inputs=tuple(cfg.arch.inputs),
         num_classes=int(cfg.dataset.num_classes),
