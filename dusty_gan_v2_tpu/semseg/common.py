@@ -36,14 +36,18 @@ __all__ = [
 # Trace-time implementation switches (exact reformulations, measured on-chip by
 # scripts/bench_semseg_parts.py; see BASELINE.md semseg section). Both selections
 # are read while tracing, so flipping them requires a re-jit — the production
-# CLIs set them once at startup.
-_POOL_IMPL = "reduce_window"  # "reduce_window" | "shift"
-_BN_ONE_PASS = False
+# CLIs set them once at startup. Defaults are the measured TPU winners (B=40
+# bf16 step 170.5 -> 90.5 ms with the contraction loss): "separable" max pools
+# (2k taps + two small select_and_scatter VJPs instead of k^2) and one-pass BN
+# moments (single activation read). "reduce_window"/two-pass remain selectable
+# for A/B and as the literal-reference forms.
+_POOL_IMPL = "separable"  # "reduce_window" | "shift" | "separable"
+_BN_ONE_PASS = True
 
 
 def set_max_pool_impl(impl: str):
     global _POOL_IMPL
-    assert impl in ("reduce_window", "shift"), impl
+    assert impl in ("reduce_window", "shift", "separable"), impl
     _POOL_IMPL = impl
 
 
@@ -336,6 +340,24 @@ def max_pool2d(x, kernel=3, stride=(1, 2), padding=1, impl=None):
         m = _sliding_max_1d(xp, kernel, axis=2)
         m = _sliding_max_1d(m, kernel, axis=3)
         return m[:, :, :: stride[0], :: stride[1]]
+    if impl == "separable":
+        # max is separable: one k-tap window per axis (2k taps instead of k^2,
+        # and the VJP is two small select_and_scatters instead of one k^2-tap
+        # one) — value-exact; -inf padding never wins a max. Gradient caveat at
+        # exact ties as for "shift" (a different winner may be selected).
+        neg = np.asarray(-np.inf, x.dtype)
+        m = lax.reduce_window(
+            x, neg, lax.max,
+            window_dimensions=(1, 1, kernel, 1),
+            window_strides=(1, 1, stride[0], 1),
+            padding=((0, 0), (0, 0), (padding, padding), (0, 0)),
+        )
+        return lax.reduce_window(
+            m, neg, lax.max,
+            window_dimensions=(1, 1, 1, kernel),
+            window_strides=(1, 1, 1, stride[1]),
+            padding=((0, 0), (0, 0), (0, 0), (padding, padding)),
+        )
     return lax.reduce_window(
         x,
         np.asarray(-np.inf, x.dtype),  # concrete scalar in x's dtype (bf16-safe);

@@ -130,16 +130,19 @@ def main():
             C.BatchNorm2d.__call__ = (
                 lambda self, x, train=False: orig_bn_call(self, x, False)
             )
-        C.set_bn_one_pass(bool(kw.get("bn_one_pass")))
-        C.set_max_pool_impl(kw.get("pool_impl", "reduce_window"))
+        # "production" ({}) times the shipped module defaults; explicit keys
+        # override (the literal-reference forms are reduce_window + two-pass BN)
+        prev = (C._BN_ONE_PASS, C._POOL_IMPL)
+        C.set_bn_one_pass(bool(kw.get("bn_one_pass", prev[0])))
+        C.set_max_pool_impl(kw.get("pool_impl", prev[1]))
         try:
             yield
         finally:
             C.max_pool2d = orig_pool
             S.max_pool2d = orig_pool
             C.BatchNorm2d.__call__ = orig_bn_call
-            C.set_bn_one_pass(False)
-            C.set_max_pool_impl("reduce_window")
+            C.set_bn_one_pass(prev[0])
+            C.set_max_pool_impl(prev[1])
 
     def build_and_time(name, fwd_only=False, sum_loss=False, no_conf=False, **kw):
         with patched(**kw):
@@ -243,8 +246,11 @@ def main():
 
     all_variants = {
         "production": {},
+        "literal_reference": {"pool_impl": "reduce_window", "bn_one_pass": False},
         "fwd_only": {"fwd_only": True},
         "pool_shift": {"pool_impl": "shift"},
+        "pool_sep": {"pool_impl": "separable"},
+        "pool_sep+bn1p": {"pool_impl": "separable", "bn_one_pass": True},
         "bn_one_pass": {"bn_one_pass": True},
         "pool_shift+bn1p": {"pool_impl": "shift", "bn_one_pass": True},
         "cam_nopool": {"cam_nopool": True},

@@ -357,8 +357,8 @@ class TestDeviceCountInvariance:
     exposes the real algorithmic property."""
 
     @pytest.mark.parametrize("bn_one_pass,pool_impl", [
-        (False, "reduce_window"),  # production defaults
-        (True, "shift"),           # one-pass BN moments + shift-doubling maxpool
+        (True, "separable"),       # production defaults (TPU-measured winners)
+        (False, "reduce_window"),  # literal-reference forms
     ])
     def test_one_vs_eight_devices(self, bn_one_pass, pool_impl):
         from jax import enable_x64
@@ -366,13 +366,14 @@ class TestDeviceCountInvariance:
 
         from dusty_gan_v2_tpu.semseg import common as C
 
+        prev = (C._BN_ONE_PASS, C._POOL_IMPL)
         C.set_bn_one_pass(bn_one_pass)
         C.set_max_pool_impl(pool_impl)
         try:
             self._run_invariance()
         finally:
-            C.set_bn_one_pass(False)
-            C.set_max_pool_impl("reduce_window")
+            C.set_bn_one_pass(prev[0])
+            C.set_max_pool_impl(prev[1])
 
     def _run_invariance(self):
         from jax import enable_x64
@@ -546,18 +547,56 @@ class TestImplReformulations:
         ).numpy()
         a = max_pool2d(jnp.asarray(x), k, stride, pad, impl="reduce_window")
         b = max_pool2d(jnp.asarray(x), k, stride, pad, impl="shift")
+        c = max_pool2d(jnp.asarray(x), k, stride, pad, impl="separable")
         np.testing.assert_array_equal(np.asarray(a), ref)
         np.testing.assert_array_equal(np.asarray(b), ref)
+        np.testing.assert_array_equal(np.asarray(c), ref)
 
         # gradient parity on tie-free input (continuous — ties have prob 0)
         ga = jax.grad(
             lambda t: (max_pool2d(t, k, stride, pad, impl="reduce_window") ** 2).sum()
         )(jnp.asarray(x))
-        gb = jax.grad(
-            lambda t: (max_pool2d(t, k, stride, pad, impl="shift") ** 2).sum()
-        )(jnp.asarray(x))
-        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
-                                   rtol=1e-6, atol=1e-6)
+        for impl in ("shift", "separable"):
+            gb = jax.grad(
+                lambda t: (max_pool2d(t, k, stride, pad, impl=impl) ** 2).sum()
+            )(jnp.asarray(x))
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_loss_contraction_matches_gather_form(self):
+        """The one-hot-contraction CE/focal (semseg/loss.py) vs a literal
+        take_along_axis transcription of the reference math — values AND
+        logit-gradients (the contraction's VJP is dense; the gather's is a
+        scatter-add; both compute the same cotangent)."""
+        C = 5
+        logit = jnp.asarray(RNG.randn(3, C, 8, 16).astype(np.float32) * 4)
+        label = jnp.asarray(RNG.randint(0, C, (3, 8, 16)))
+        alpha = jnp.asarray(np.array([0.2, 1.0, 3.0, 0.7, 1.4], np.float32))
+
+        def gather_focal(lg):
+            logp = jax.nn.log_softmax(lg, axis=1)
+            ce = -jnp.take_along_axis(logp, label[:, None], axis=1)[:, 0]
+            ce = ce * alpha[label]
+            p = jnp.take_along_axis(jax.nn.softmax(lg, axis=1), label[:, None],
+                                    axis=1)[:, 0]
+            return (1.0 - p) ** 2.0 * ce
+
+        ref = gather_focal(logit)
+        got = focal_loss(logit, label, 2.0, alpha)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-7)
+        gr = jax.grad(lambda lg: gather_focal(lg).sum())(logit)
+        gg = jax.grad(lambda lg: focal_loss(lg, label, 2.0, alpha).sum())(logit)
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-6)
+
+        ce_ref = -jnp.take_along_axis(
+            jax.nn.log_softmax(logit, axis=1), label[:, None], axis=1
+        )[:, 0] * alpha[label]
+        np.testing.assert_allclose(
+            np.asarray(cross_entropy(logit, label, alpha)), np.asarray(ce_ref),
+            rtol=1e-6, atol=1e-7,
+        )
 
     def test_bn_one_pass_matches_two_pass(self):
         from dusty_gan_v2_tpu.semseg import common as C
@@ -567,6 +606,7 @@ class TestImplReformulations:
         # actually displaces the second moment
         stats = {"running_mean": jnp.full((16,), 0.5),
                  "running_var": jnp.full((16,), 2.0)}
+        prev_bn1p = C._BN_ONE_PASS
 
         def run(one_pass):
             C.set_bn_one_pass(one_pass)
@@ -586,7 +626,7 @@ class TestImplReformulations:
                 )
                 return y, st, g
             finally:
-                C.set_bn_one_pass(False)
+                C.set_bn_one_pass(prev_bn1p)
 
         y1, s1, g1 = run(False)
         y2, s2, g2 = run(True)
