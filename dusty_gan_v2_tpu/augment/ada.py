@@ -34,6 +34,7 @@ import numpy as np
 import scipy.signal
 
 from ..ops.pad import _pad_axis
+from ..ops.shift import fractional_wrap_lerp
 from ..ops.resample import upfirdn2d
 from ..parallel.persample import PerSampleStream, global_ids
 
@@ -437,10 +438,9 @@ class AdaptiveAugment:
         u0 = jnp.floor(u)
         fu = (u - u0).astype(dtype)[:, None, None, :]
         i0 = jnp.mod(u0.astype(jnp.int32), Ws)
-        i1 = jnp.mod(u0.astype(jnp.int32) + 1, Ws)
-        g0 = jnp.take_along_axis(y, i0[:, None, None, :], axis=-1)
-        g1 = jnp.take_along_axis(y, i1[:, None, None, :], axis=-1)
-        z = g0 * (1.0 - fu) + g1 * fu  # (B, C, H, Wo)
+        # per-sample fractional wrap via the one-hot MXU matmul (ops/shift.py):
+        # a batched gather's VJP is a scatter-add, the TPU slow path; bit-exact
+        z = fractional_wrap_lerp(y, i0, fu)  # (B, C, H, Wo)
         img = jnp.einsum(
             "bchq,wq->bchw", z, Dw.astype(dtype), preferred_element_type=jnp.float32
         ).astype(dtype)

@@ -119,22 +119,34 @@ class Head(nn.Module):
         return out
 
 
-def circular_translate_w(x: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+def circular_translate_w(x: jnp.ndarray, delta: jnp.ndarray, impl=None) -> jnp.ndarray:
     """Fractional circular shift along W: out[..., i] = lerp(x[i+floor(d)], x[i+floor(d)+1]).
 
     Exactly reproduces the reference's circular-cat + bilinear grid_sample inverse shift
     (dusty_v2.py:291-297) for horizontal-only translations.
     x: (B, C, H, W); delta: (B,) shift in pixels.
+
+    Default impl routes the per-sample gather through a one-hot MXU matmul
+    (ops/shift.py: gather VJPs are scatter-adds, the TPU slow path); here the
+    circulant structure (idx0[o+1] = idx0[o]+1) additionally recovers the +1
+    neighbor as a STATIC roll of the matmul output, so one selection serves
+    both lerp taps. Bit-exact vs the gather form.
     """
+    from ..ops.shift import _SHIFT_IMPL, gather_cols_mm
+
     W = x.shape[-1]
     i0 = jnp.floor(delta)
     frac = (delta - i0)[:, None, None, None].astype(x.dtype)
     i0 = i0.astype(jnp.int32)
     base = jnp.arange(W, dtype=jnp.int32)[None]  # (1, W)
     idx0 = (base + i0[:, None]) % W  # (B, W)
-    idx1 = (idx0 + 1) % W
-    g0 = jnp.take_along_axis(x, idx0[:, None, None, :], axis=-1)
-    g1 = jnp.take_along_axis(x, idx1[:, None, None, :], axis=-1)
+    if (impl or _SHIFT_IMPL) == "matmul":
+        g0 = gather_cols_mm(x, idx0)
+        g1 = jnp.roll(g0, -1, axis=-1)  # x[idx0[o]+1 mod W] == g0[(o+1) mod W]
+    else:
+        idx1 = (idx0 + 1) % W
+        g0 = jnp.take_along_axis(x, idx0[:, None, None, :], axis=-1)
+        g1 = jnp.take_along_axis(x, idx1[:, None, None, :], axis=-1)
     return g0 * (1 - frac) + g1 * frac
 
 

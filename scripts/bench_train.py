@@ -48,6 +48,10 @@ def main():
                              "variance)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize G blocks / D resblocks (HBM relief)")
+    parser.add_argument("--ab_shift", action="store_true",
+                        help="time --only with the fractional-W-shift formulation "
+                             "matmul/gather/matmul/gather IN ONE PROCESS "
+                             "(azimuth-cancel roll + ADA wrap; ops/shift.py)")
     args = parser.parse_args()
 
     cfg = load_config(args.config)
@@ -122,6 +126,18 @@ def main():
         # skip-warmup variant drops the per-sample dropout-mask RNG work
         "adv_only_steady": 1_000_003,
     }
+    if args.ab_shift:
+        from dusty_gan_v2_tpu.ops import shift as _shift
+
+        name = args.only or "adv_only_steady"
+        it = variants[name]
+        for mode in ("matmul", "gather", "matmul2", "gather2"):
+            _shift.set_shift_impl("gather" if mode.startswith("gather") else "matmul")
+            t = Trainer(cfg, mesh=mesh)
+            state = t.init_state(jax.random.PRNGKey(0))
+            timed(it, f"{name}[shift_{mode}]")
+        _shift.set_shift_impl("matmul")
+        return
     if args.ab_blurconv:
         import os
 

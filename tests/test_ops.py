@@ -582,3 +582,53 @@ class TestResampleSumsq:
             float(st_got["stats"]["ema_var"]), float(st_ref["stats"]["ema_var"]),
             rtol=1e-5,
         )
+
+
+class TestFractionalShiftMatmul:
+    """ops/shift.py: the one-hot-matmul fractional wrap is BIT-EXACT vs the
+    take_along_axis form (one-term f32 sums recover the same elements; the lerp
+    arithmetic is shared), and its VJP is scatter-free (matmul w/ S^T)."""
+
+    def test_wrap_lerp_impls_bitexact(self):
+        from dusty_gan_v2_tpu.ops.shift import fractional_wrap_lerp
+
+        rng = np.random.RandomState(3)
+        B, C, H, Ws, Wo = 3, 2, 4, 32, 16
+        x = jnp.asarray(rng.randn(B, C, H, Ws).astype(np.float32))
+        u = rng.uniform(-40, 40, (B, Wo)).astype(np.float32)
+        i0 = jnp.asarray(np.mod(np.floor(u).astype(np.int32), Ws))
+        fu = jnp.asarray((u - np.floor(u)).astype(np.float32))[:, None, None, :]
+
+        a = fractional_wrap_lerp(x, i0, fu, impl="matmul")
+        b = fractional_wrap_lerp(x, i0, fu, impl="gather")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        ga = jax.grad(lambda t: (fractional_wrap_lerp(t, i0, fu, impl="matmul") ** 2).sum())(x)
+        gb = jax.grad(lambda t: (fractional_wrap_lerp(t, i0, fu, impl="gather") ** 2).sum())(x)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-6, atol=1e-6)
+
+    def test_circular_translate_impls_bitexact(self):
+        from dusty_gan_v2_tpu.models.dusty_v2 import circular_translate_w
+
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.randn(2, 2, 4, 24).astype(np.float32))
+        delta = jnp.asarray(np.array([3.37, -11.9], np.float32))
+        a = circular_translate_w(x, delta, impl="matmul")
+        b = circular_translate_w(x, delta, impl="gather")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        ga = jax.grad(lambda t: (circular_translate_w(t, delta, impl="matmul") ** 2).sum())(x)
+        gb = jax.grad(lambda t: (circular_translate_w(t, delta, impl="gather") ** 2).sum())(x)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-6, atol=1e-6)
+
+    def test_bf16_matches_gather_form(self):
+        from dusty_gan_v2_tpu.ops.shift import fractional_wrap_lerp
+
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(2, 1, 4, 32).astype(np.float32)).astype(jnp.bfloat16)
+        u = rng.uniform(0, 32, (2, 8)).astype(np.float32)
+        i0 = jnp.asarray(np.mod(np.floor(u).astype(np.int32), 32))
+        fu = jnp.asarray((u - np.floor(u))).astype(jnp.bfloat16)[:, None, None, :]
+        a = fractional_wrap_lerp(x, i0, fu, impl="matmul")
+        b = fractional_wrap_lerp(x, i0, fu, impl="gather")
+        np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b, np.float32))
