@@ -58,13 +58,20 @@ def compute_dcd(pcs_1, pcs_2):
 _FNS = {"cd": compute_cd, "emd": compute_emd, "dcd": compute_dcd}
 
 
-def _pairwise_distance(pcs_1, pcs_2, batch_size, metrics=("cd",), verbose=True):
+def _pairwise_distance(
+    pcs_1, pcs_2, batch_size, metrics=("cd",), verbose=True, progress=None
+):
     """(B1,N,3) x (B2,M,3) -> full B1xB2 distance matrices.
 
     The flat pair list is processed in chunks whose leading dim is sharded over
     the device mesh — every attached chip computes an equal share of each chunk
     (the reference fans EMD out with DataParallel, cov_mmd_1nna.py:21; here XLA
-    SPMD splits the batch)."""
+    SPMD splits the batch).
+
+    `progress(done_pairs, total_pairs, last_device_value)` is called after each
+    chunk DISPATCH (dispatch is async — block on `last_device_value` inside the
+    callback for a true throughput checkpoint). Raising from the callback aborts
+    the matrix; used by scripts/bench_emd_protocol.py for budgeted measured runs."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel import DATA_AXIS, make_mesh
@@ -101,6 +108,8 @@ def _pairwise_distance(pcs_1, pcs_2, batch_size, metrics=("cd",), verbose=True):
         jj_d = jax.device_put(jj, sharding)
         for m in metrics:
             pending.append((m, ii, jj, valid, jitted[m](p1, p2, ii_d, jj_d)))
+        if progress is not None:
+            progress(min(start + chunk, total), total, pending[-1][-1])
     for m, ii, jj, valid, vals in pending:
         out[m][ii[:valid], jj[:valid]] = np.asarray(vals)[:valid]
     return out

@@ -220,6 +220,34 @@ class TestCovMmd1nna:
         res_emd = compute_cov_mmd_1nna(gen, ref, batch_size=6, metrics=("emd",))
         assert res_emd["1-nn-accuracy-emd"] <= 0.1
 
+    def test_pairwise_progress_callback_and_abort(self):
+        """The progress hook (used by scripts/bench_emd_protocol.py for budgeted
+        measured runs) reports monotone pair counts; raising from it aborts."""
+        from dusty_gan_v2_tpu.metrics.cov_mmd_1nna import _pairwise_distance
+
+        ref = RNG.rand(8, 32, 3).astype(np.float32)
+        gen = RNG.rand(8, 32, 3).astype(np.float32)
+        seen = []
+        out = _pairwise_distance(
+            ref, gen, 16, ("cd",),
+            progress=lambda done, total, val: seen.append((done, total)),
+        )["cd"]
+        assert out.shape == (8, 8)
+        assert seen[-1][0] == seen[-1][1] == 64
+        assert [d for d, _ in seen] == sorted(d for d, _ in seen)
+
+        class Boom(Exception):
+            pass
+
+        def aborting(done, total, val):
+            raise Boom
+
+        try:
+            _pairwise_distance(ref, gen, 16, ("cd",), progress=aborting)
+            assert False, "progress exception must propagate"
+        except Boom:
+            pass
+
 
 class TestPointNet:
     def test_features_and_permutation_invariance(self):
