@@ -176,6 +176,68 @@ def _compiled_flops(jitted, *args) -> float:
         return 0.0
 
 
+def _gan_train_rate(deadline: float):
+    """Steady-state adversarial training step (bf16 B=128 recipe, the schedule's
+    >99% common step) — imgs/s/chip, measured in-process under the watchdog so the
+    driver record carries it (VERDICT r4 #2). Reference step shape:
+    /root/reference/gans/trainer.py:247-482."""
+    import jax
+    import jax.numpy as jnp
+
+    from dusty_gan_v2_tpu.parallel import make_mesh
+    from dusty_gan_v2_tpu.training import Trainer
+    from dusty_gan_v2_tpu.utils.config import load_config
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_config(os.path.join(root, "configs", "gans", "dusty_v2_bf16.yaml"))
+    B = int(cfg.training.batch_size)
+    t = Trainer(cfg, mesh=make_mesh(jax.devices()[:1]))
+    state = t.init_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    res = t.resolution
+    batch = {
+        "depth": jnp.asarray(
+            rng.uniform(2.0, 79.0, (B, 1, *res)).astype(np.float32)),
+        "mask": jnp.asarray((rng.rand(B, 1, *res) > 0.1).astype(np.float32)),
+    }
+    it0 = 1_000_003  # past the warmup fade, off the lazy-reg cadence
+    state, m = t.step(state, batch, jax.random.PRNGKey(1), it0)  # compile
+    jax.device_get(m)  # data-fetch fence (see run_bench note)
+    if time.monotonic() > deadline:
+        raise TimeoutError("budget exhausted after GAN step compile")
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = t.step(state, batch, jax.random.PRNGKey(2 + i), it0 + i * 48)
+    jax.device_get(m)  # data-fetch fence (see run_bench note)
+    dt = (time.perf_counter() - t0) / iters
+    return {"train_imgs_per_sec": round(B / dt, 1),
+            "train_step_ms": round(1e3 * dt, 2), "train_batch": B,
+            "train_dtype": str(cfg.model.generator.get("compute_dtype", "float32"))}
+
+
+def _semseg_train_rate(deadline: float):
+    """SqueezeSegV2 sim2real protocol step (bf16, reference batch 40) — imgs/s/chip
+    via the exact train_semseg.py step (scripts/bench_semseg.py). Reference step:
+    /root/reference/train_semseg.py:243-362."""
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(root, "scripts"))
+    from bench_semseg import run_semseg_bench
+
+    if time.monotonic() > deadline:
+        raise TimeoutError("no budget left for the semseg step")
+    rec = run_semseg_bench(
+        config=os.path.join(
+            root, "configs", "semseg", "sim2real_w_gan_noise_dustyv2_bf16.yaml"),
+        batch=40, iters=10)
+    return {"semseg_imgs_per_sec": rec["imgs_per_sec"],
+            "semseg_step_ms": rec["step_ms"], "semseg_batch": rec["batch"],
+            "semseg_dtype": rec["dtype"]}
+
+
 def run_bench(batch: int = 128):
     import jax
 
@@ -202,6 +264,9 @@ def run_bench(batch: int = 128):
     x = jnp.ones((8, 8))
     jax.block_until_ready(x @ x)
     print(f"READY {dev.device_kind}", flush=True)
+    # the parent's run deadline starts at READY; extras reserve a safety margin
+    run_deadline = time.monotonic() + float(
+        os.environ.get("BENCH_RUN_TIMEOUT", 1020)) - 150.0
 
     res = (64, 512)
     B = batch
@@ -226,9 +291,11 @@ def run_bench(batch: int = 128):
         return o["image"]
 
     noise0 = jax.random.logistic(jax.random.PRNGKey(2), (B, 1, *res))
-    # warmup / compile
+    # warmup / compile. Fences below are scalar DATA FETCHES (float(sum)) rather
+    # than block_until_ready: the latter was observed returning without fencing
+    # execution on this tunnel when the device queue is congested (r5).
     out = sample(variables, z0, noise0)
-    jax.block_until_ready(out)
+    _ = float(jnp.sum(out))
 
     # best-of-N repeats: a single timed loop is exposed to transient tunnel stalls
     # (observed r3: one driver run reported 11.08 ms/batch where repeated runs give
@@ -242,7 +309,7 @@ def run_bench(batch: int = 128):
         t0 = time.perf_counter()
         for i in range(n_iters):
             out = sample(variables, zs[i % 4], noise0)
-        jax.block_until_ready(out)
+        _ = float(jnp.sum(out))  # execution fence (data fetch)
         repeat_ms.append(1e3 * (time.perf_counter() - t0) / n_iters)
     dt = min(repeat_ms) * 1e-3 * n_iters
 
@@ -263,6 +330,17 @@ def run_bench(batch: int = 128):
         "repeat_ms": [round(m, 3) for m in repeat_ms],
         "device": dev.device_kind,
     }
+
+    # training throughput, driver-visible (VERDICT r4 #2). Each extra is
+    # budget-guarded and best-effort: a failure/timeout leaves a reason string
+    # instead of silently dropping the primary sampling record.
+    del out, variables, zs, z0, noise0  # release sampling HBM before B=128 training
+    if not os.environ.get("BENCH_SKIP_EXTRAS"):  # sampling-only A/B runs set this
+        for name, fn in (("train", _gan_train_rate), ("semseg", _semseg_train_rate)):
+            try:
+                record.update(fn(run_deadline))
+            except Exception as e:  # noqa: BLE001 — record and move on
+                record[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(record), flush=True)
 
 

@@ -68,10 +68,13 @@ def _pairwise_distance(
     (the reference fans EMD out with DataParallel, cov_mmd_1nna.py:21; here XLA
     SPMD splits the batch).
 
-    `progress(done_pairs, total_pairs, last_device_value)` is called after each
-    chunk DISPATCH (dispatch is async — block on `last_device_value` inside the
-    callback for a true throughput checkpoint). Raising from the callback aborts
-    the matrix; used by scripts/bench_emd_protocol.py for budgeted measured runs."""
+    `progress(done_pairs, total_pairs, last_device_value)` is called once per
+    chunk after its DISPATCH (dispatch is async — block on `last_device_value`
+    inside the callback for a true throughput checkpoint; with multiple metrics
+    the checkpoint value is the chunk's LAST metric only, which is sufficient
+    because all of the chunk's dispatches precede it in program order). Raising
+    from the callback aborts the matrix; used by
+    scripts/bench_emd_protocol.py for budgeted measured runs."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel import DATA_AXIS, make_mesh
@@ -83,35 +86,40 @@ def _pairwise_distance(
     repl = NamedSharding(mesh, P())
     chunk = max(n_dev, (batch_size // n_dev) * n_dev)
 
-    # both point sets live on device ONCE (replicated); each chunk ships only its
-    # (chunk,) index vectors and gathers on-device. Re-uploading the gathered
-    # pairs per chunk moved ~50x the data (e.g. 38 GB for a 512^2x3 CD run, 1344 s
-    # through the tunnel-attached TPU -> ~30 s). Results stay on device until the
-    # end so the dispatch pipeline never blocks on a per-chunk download.
+    # both point sets live on device ONCE (replicated). Each chunk's flat pair
+    # indices are computed ON DEVICE from one int32 scalar (the chunk start):
+    # shipping the two (chunk,) index vectors per chunk through the tunnel (r2
+    # design) cost two host->device uploads per dispatch, measured at ~35% of
+    # the at-scale 1-NNA-EMD wall-clock (r4 run: 1441.6 pairs/s vs the 2207
+    # pairs/s kernel microbench; see scripts/bench_emd_dispatch.py). The tail
+    # chunk clamps its indices to total-1 (duplicate pairs, sliced off on the
+    # host) so every dispatch shares ONE compiled executable. Results stay on
+    # device until the end so the pipeline never blocks on a per-chunk download.
+    total = B1 * B2
+
+    def _chunk_vals(pa, pb, start, f):
+        idx = start + jnp.arange(chunk, dtype=jnp.int32)
+        idx = jnp.minimum(idx, total - 1)
+        idx = jax.lax.with_sharding_constraint(idx, sharding)
+        return f(pa[idx // B2], pb[idx % B2])
+
     jitted = {
-        m: jax.jit(lambda pa, pb, ii, jj, f=_FNS[m]: f(pa[ii], pb[jj]))
+        m: jax.jit(lambda pa, pb, start, f=_FNS[m]: _chunk_vals(pa, pb, start, f))
         for m in metrics
     }
     out = {m: np.zeros((B1, B2), np.float32) for m in metrics}
     p1 = jax.device_put(np.asarray(pcs_1), repl)
     p2 = jax.device_put(np.asarray(pcs_2), repl)
-    total = B1 * B2
     pending = []
     for start in range(0, total, chunk):
-        idx = np.arange(start, min(start + chunk, total))
-        valid = len(idx)
-        pad = (-valid) % n_dev
-        if pad:
-            idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
-        ii, jj = idx // B2, idx % B2
-        ii_d = jax.device_put(ii, sharding)
-        jj_d = jax.device_put(jj, sharding)
+        valid = min(start + chunk, total) - start
         for m in metrics:
-            pending.append((m, ii, jj, valid, jitted[m](p1, p2, ii_d, jj_d)))
-        if progress is not None:
-            progress(min(start + chunk, total), total, pending[-1][-1])
-    for m, ii, jj, valid, vals in pending:
-        out[m][ii[:valid], jj[:valid]] = np.asarray(vals)[:valid]
+            pending.append((m, start, valid, jitted[m](p1, p2, np.int32(start))))
+        if progress is not None and pending:
+            progress(start + valid, total, pending[-1][-1])
+    for m, start, valid, vals in pending:
+        idx = np.arange(start, start + valid)
+        out[m][idx // B2, idx % B2] = np.asarray(vals)[:valid]
     return out
 
 

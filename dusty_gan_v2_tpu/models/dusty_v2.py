@@ -187,8 +187,23 @@ class SynthesisBlock(nn.Module):
         train: bool = False,
         fixed_noise: Optional[Sequence] = None,
         azim_shift=None,
+        pe_entry: Optional[jnp.ndarray] = None,
+        *,
+        return_pe_cache: bool = False,
     ):
         dtype = jnp.dtype(self.dtype)
+        if return_pe_cache:
+            # cache-builder pass (SynthesisNetwork return_pe_cache): produce this
+            # block's PE volume at the block's own compute dtype, so feeding it
+            # back via pe_entry is BIT-identical to the in-call computation
+            assert self.use_pe
+            return FourierFeature(
+                resolution=tuple(self.resolution),
+                basis_scale=self.pe_type,
+                num_freqs=self.pe_ch,
+                L_offset=tuple(self.pe_scale_offset),
+                name="pe",
+            )(angle.astype(dtype))
         ws = iter(ws)
         up_plan = (
             make_resample(
@@ -230,12 +245,17 @@ class SynthesisBlock(nn.Module):
                 L_offset=tuple(self.pe_scale_offset),
                 name="pe",
             )
+            # pe_entry (from a prior return_pe_cache pass over the same fixed
+            # angle grid) skips the einsum+sin/cos volume; rotation coefficients
+            # still come from the frozen freqs (they depend on azim_shift only)
+            pe_arg = angle.astype(dtype) if pe_entry is None else None
+            pre = None if pe_entry is None else pe_entry.astype(dtype)
             if azim_shift is not None:
                 h_pe, pe_rot = ff(
-                    angle.astype(dtype), azim_shift=azim_shift, as_rotation=True
+                    pe_arg, azim_shift=azim_shift, as_rotation=True, precomputed=pre
                 )
             else:
-                h_pe, pe_rot = ff(angle.astype(dtype)), None
+                h_pe, pe_rot = ff(pe_arg, precomputed=pre), None
         else:
             pe_in, h_pe, pe_rot = 0, None, None
 
@@ -354,6 +374,46 @@ class SynthesisNetwork(nn.Module):
             out.append("bfloat16" if use_low else "float32")
         return out
 
+    def _angle_pyramid(self, angle, scales):
+        down_plan = make_resample(down=2, window=(1, 3, 3, 1), ring=self.ring)
+        pyramid = [angle]
+        for s in scales[:0:-1]:
+            if s > 1:
+                angle = downsample_angle(angle, down_plan)
+            pyramid.insert(0, angle)
+        return pyramid
+
+    def _pe_cache_pass(self, angle, scales, ch):
+        """Build the per-block PE volumes once for a fixed angle grid (feed the
+        result back as `pe_cache` to skip the pyramid + sin/cos work per call).
+        Bit-identical to the in-call computation: same block dtypes, same math."""
+        pyramid = self._angle_pyramid(angle, scales)
+        dtypes = self.block_dtypes()
+        H, W = self.resolution
+        res_i = np.array([H, W]) // int(np.prod(self.layers))
+        out = []
+        for i, s in enumerate(scales):
+            res_i = res_i * s
+            if not (s > 1 or i == 0):  # mirrors the main loop's use_pe
+                out.append(None)
+                continue
+            blk = SynthesisBlock(
+                in_ch=ch(i - 1) if i != 0 else 0,
+                mid_ch=ch(i),
+                out_ch=tuple(self.out_ch),
+                mod_ch=self.in_ch,
+                resolution=(int(res_i[0]), int(res_i[1])),
+                up=s,
+                use_noise=self.use_noise,
+                pe_type=self.pe_type,
+                pe_scale_offset=tuple(self.pe_scale_offset),
+                ring=self.ring,
+                dtype=dtypes[i],
+                name=f"b{i}",
+            )
+            out.append(blk(None, None, None, pyramid[i], return_pe_cache=True))
+        return out
+
     @nn.compact
     def __call__(
         self,
@@ -361,13 +421,20 @@ class SynthesisNetwork(nn.Module):
         angle: jnp.ndarray,
         train: bool = False,
         fixed_noise=None,
+        pe_cache=None,
+        return_pe_cache: bool = False,
     ) -> Dict[str, jnp.ndarray]:
-        B, N, _ = ws.shape
-        assert N == self.num_styles, f"{self.num_styles} != {N}"
         H, W = self.resolution
         scales = (1,) + tuple(self.layers)
         n_layers = len(scales)
         ch = lambda i: min(self.ch_base << (len(self.layers) - i), self.ch_max)
+
+        if return_pe_cache:
+            return tuple(self._pe_cache_pass(angle, scales, ch))
+        if pe_cache is None:
+            pe_cache = (None,) * len(scales)
+        B, N, _ = ws.shape
+        assert N == self.num_styles, f"{self.num_styles} != {N}"
 
         do_aug = train and self.aug_coords
         azim_shift = None
@@ -383,13 +450,14 @@ class SynthesisNetwork(nn.Module):
             shift = shift01 * (2.0 * np.pi)
             azim_shift = shift
 
-        # multiscale angle pyramid (top-down repeated sin/cos downsampling)
-        down_plan = make_resample(down=2, window=(1, 3, 3, 1), ring=self.ring)
-        pyramid = [angle]
-        for s in scales[:0:-1]:
-            if s > 1:
-                angle = downsample_angle(angle, down_plan)
-            pyramid.insert(0, angle)
+        # multiscale angle pyramid (top-down repeated sin/cos downsampling).
+        # With a pe_cache (PE volumes are pure constants of the fixed sensor
+        # grid) the pyramid is never consumed — angle feeds only the PE.
+        have_cache = any(p is not None for p in pe_cache)
+        if have_cache:
+            pyramid = [None] * n_layers
+        else:
+            pyramid = self._angle_pyramid(angle, scales)
 
         dtypes = self.block_dtypes()
         res_i = np.array([H, W]) // int(np.prod(self.layers))
@@ -421,7 +489,7 @@ class SynthesisNetwork(nn.Module):
             fn = None if fixed_noise is None else fixed_noise[i]
             h, skip = blk(
                 h, skip, (ws[:, wi], ws[:, wi + 1], ws[:, wi + 2]), pyramid[i],
-                train, fn, azim_shift,
+                train, fn, azim_shift, pe_cache[i],
             )
             wi += 1 if i == 0 else 2  # blk.num_conv (wrapped class hides properties)
 
@@ -464,11 +532,18 @@ class Generator(nn.Module, GeneratorMixin):
         input_w: bool = False,
         gumbel_noise=None,
         fixed_noise=None,
+        pe_cache=None,
+        return_pe_cache: bool = False,
     ):
         mapping = MappingNetwork(**self.mapping_kwargs, name="mapping_network")
         syn_kwargs = dict(self.synthesis_kwargs)
         syn_kwargs.setdefault("compute_dtype", self.compute_dtype)
         synthesis = SynthesisNetwork(**syn_kwargs, name="synthesis_network")
+        if return_pe_cache:
+            # one-time PE pyramid for a fixed sensor grid:
+            #   cache = G.apply(vars, None, angle, return_pe_cache=True)
+            #   G.apply(vars, z, angle, pe_cache=cache)  # per-call PE work skipped
+            return synthesis(None, angle, return_pe_cache=True)
         w = self._style(
             mapping,
             z,
@@ -479,7 +554,8 @@ class Generator(nn.Module, GeneratorMixin):
             truncation_psi=truncation_psi,
             input_w=input_w,
         )
-        o = synthesis(w, angle, train=train, fixed_noise=fixed_noise)
+        o = synthesis(w, angle, train=train, fixed_noise=fixed_noise,
+                      pe_cache=pe_cache)
         o["w"] = w
         rng = None
         if gumbel_noise is None:

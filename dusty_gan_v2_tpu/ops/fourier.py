@@ -89,7 +89,13 @@ class FourierFeature(nn.Module):
         return freqs.astype(jnp.float32), phase.astype(jnp.float32)
 
     @nn.compact
-    def __call__(self, angle: jnp.ndarray, azim_shift=None, as_rotation: bool = False):
+    def __call__(
+        self,
+        angle: jnp.ndarray,
+        azim_shift=None,
+        as_rotation: bool = False,
+        precomputed=None,
+    ):
         """angle: (B, 2, H, W) -> (B, out_ch, H, W); with as_rotation and azim_shift,
         -> (base encoding, (sin_delta, cos_delta) each (B, F)).
 
@@ -99,6 +105,11 @@ class FourierFeature(nn.Module):
         so the expensive sin/cos volumes are computed once (batch of `angle`, typically
         1) and combined with per-sample per-frequency scalars. Used by the
         subgrid-consistency augmentation (dusty_v2.py aug_coords).
+
+        precomputed: a previously returned base encoding (the angle grid is fixed
+        per sensor, so the sin/cos volumes are pure constants of it) — skips the
+        einsum + sin/cos volume computation; rotation coefficients (which depend
+        on the per-sample azim_shift) are still produced from the frozen freqs.
         """
         if self.is_initializing():
             bank = self._init_bank(self.make_rng("params"))
@@ -110,11 +121,15 @@ class FourierFeature(nn.Module):
         phase = self.variable(
             "consts", "phase", lambda: bank[1] if bank is not None else None
         )
-        f = freqs.value.astype(angle.dtype)
-        coords = jnp.einsum("fc,bchw->bfhw", f, angle) + phase.value.astype(
-            angle.dtype
-        )[None, :, None, None]
-        s, c = jnp.sin(coords), jnp.cos(coords)
+        f = freqs.value.astype(angle.dtype if angle is not None else precomputed.dtype)
+        if precomputed is not None and not self.is_initializing():
+            n = precomputed.shape[1] // 2
+            s, c = precomputed[:, :n], precomputed[:, n:]
+        else:
+            coords = jnp.einsum("fc,bchw->bfhw", f, angle) + phase.value.astype(
+                angle.dtype
+            )[None, :, None, None]
+            s, c = jnp.sin(coords), jnp.cos(coords)
         if azim_shift is not None and as_rotation:
             # return the UNSHIFTED encoding plus the per-sample per-frequency
             # rotation coefficients: the caller folds the shift into the consuming

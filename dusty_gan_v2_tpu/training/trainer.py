@@ -179,6 +179,21 @@ class Trainer:
         self.blur_init_sigma = float(wcfg.blur_init_sigma)
         self.dropout_init_ratio = float(wcfg.dropout_init_ratio)
 
+        # hoisted Fourier-PE pyramid (r5): the PE volumes are pure constants of
+        # the fixed sensor angle grid + the frozen "consts" bank, yet were
+        # recomputed (einsum + sin/cos + the whole angle pyramid) inside EVERY
+        # G.apply — 3-4x per training step. They are fed as runtime args (NOT
+        # jit closures: large closed-over constants trip the remote-compile
+        # payload limit) and are bit-identical to the in-call computation
+        # (tests/test_models.py::test_pe_cache_exactness, test_trainer.py).
+        import os as _os
+
+        self.use_pe_cache = (
+            self.arch == "dusty_v2"
+            and not _os.environ.get("DUSTY_TPU_DISABLE_PECACHE")
+        )
+        self._pe_cache = None
+
         self._step_cache: Dict[Tuple[bool, bool, bool], Callable] = {}
 
     # ------------------------------------------------------------------ state
@@ -272,7 +287,12 @@ class Trainer:
         n_dev = self.mesh.shape[DATA_AXIS]
         B_global = B * n_dev
 
-        def step_fn(state, batch, rng, it, ema_decay, dropout_ratio, blur_kernel):
+        use_pc = self.use_pe_cache
+
+        def step_fn(state, batch, rng, it, ema_decay, dropout_ratio, blur_kernel,
+                    pe_cache):
+            # static gate: archs without the pe_cache kwarg never see it
+            pe_kw = {"pe_cache": pe_cache} if use_pc else {}
             # per-iteration fold happens INSIDE the jit: an eager host-side
             # fold_in costs a remote dispatch round-trip per iteration on
             # tunnel-attached TPUs (same values as the former host fold).
@@ -294,7 +314,8 @@ class Trainer:
                 gv = {"params": params_G, "stats": state.stats_G, "consts": state.consts_G}
                 z = ps_normal(keys[0], global_ids(B), (z_dim,))
                 o, mut = G.apply(
-                    gv, z, angle, train=True, rngs=g_rngs(keys[1]), mutable=["stats"]
+                    gv, z, angle, train=True, rngs=g_rngs(keys[1]),
+                    mutable=["stats"], **pe_kw
                 )
                 x_fake = o["image"]
                 x_fake = wu(x_fake, keys[2], dropout_ratio, blur_kernel)
@@ -332,7 +353,8 @@ class Trainer:
                 gv = {"params": params_G, "stats": stats_G, "consts": state.consts_G}
                 z_pl = ps_normal(keys[6], global_ids(B_pl), (z_dim,))
                 # style codes (no stats update on this pass)
-                o_w = G.apply(gv, z_pl, angle, train=False, rngs=g_rngs(keys[7]))
+                o_w = G.apply(gv, z_pl, angle, train=False, rngs=g_rngs(keys[7]),
+                              **pe_kw)
                 w = jax.lax.stop_gradient(o_w["w"])
                 img_shape = o_w["image"].shape
                 noise_pl = ps_normal(
@@ -346,7 +368,7 @@ class Trainer:
                     def inner(w_in):
                         o2, mut2 = G.apply(
                             gv2, w_in, angle, train=True, input_w=True,
-                            rngs=pl_rngs, mutable=["stats"],
+                            rngs=pl_rngs, mutable=["stats"], **pe_kw,
                         )
                         return jnp.sum(o2["image"] * noise_pl), mut2["stats"]
 
@@ -374,7 +396,8 @@ class Trainer:
             def d_loss_fn(params_D):
                 z = ps_normal(keys[10], global_ids(B), (z_dim,))
                 o, mut = G.apply(
-                    gv, z, angle, train=True, rngs=g_rngs(keys[11]), mutable=["stats"]
+                    gv, z, angle, train=True, rngs=g_rngs(keys[11]),
+                    mutable=["stats"], **pe_kw
                 )
                 x_fake = jax.lax.stop_gradient(o["image"])
                 # warmup + ADA are strictly per-sample: run reals and fakes as ONE
@@ -473,7 +496,7 @@ class Trainer:
         sharded = _shard_map(
             step_fn,
             self.mesh,
-            in_specs=(P(), P(DATA_AXIS), P(), P(), P(), P(), P()),
+            in_specs=(P(), P(DATA_AXIS), P(), P(), P(), P(), P(), P()),
             out_specs=(P(), P()),
         )
         return jax.jit(sharded, donate_argnums=(0,))
@@ -488,6 +511,29 @@ class Trainer:
         if key not in self._step_cache:
             self._step_cache[key] = self._build_step(*key)
         return self._step_cache[key], do_pl, do_r1, do_ada
+
+    def pe_cache_for(self, state: GANTrainState):
+        """Per-run PE pyramid (see __init__): computed ONCE from the state's
+        frozen consts + the fixed angle grid, then reused by every step. The
+        consts never change within a run; call invalidate_pe_cache() if a state
+        with different consts is swapped in mid-run."""
+        if not self.use_pe_cache:
+            return None
+        if self._pe_cache is None:
+            build = jax.jit(
+                lambda consts, angle: self.G.apply(
+                    {"params": {}, "consts": consts}, None, angle,
+                    return_pe_cache=True,
+                )
+            )
+            self._pe_cache = jax.device_put(
+                build(state.consts_G, self.angle),
+                jax.sharding.NamedSharding(self.mesh, P()),
+            )
+        return self._pe_cache
+
+    def invalidate_pe_cache(self):
+        self._pe_cache = None
 
     def step(self, state: GANTrainState, batch, rng, iteration: int):
         """One full training iteration (host entry point).
@@ -511,6 +557,7 @@ class Trainer:
             np.float32(self.ema_decay(iteration)),
             np.float32(dropout_ratio),
             blur_kernel,
+            self.pe_cache_for(state),
         )
 
     def augment_reals(self, state: GANTrainState, batch, rng, iteration: int):

@@ -49,6 +49,8 @@ def main():
     p.add_argument("--sync_every_s", type=float, default=30.0)
     p.add_argument("--out_dir", default="artifacts/emd_protocol")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="load already-saved M_<name>.npy matrices instead of recomputing")
     args = p.parse_args()
 
     out_dir = Path(args.out_dir)
@@ -114,9 +116,18 @@ def main():
     angle_d = jax.device_put(jnp.asarray(angle))
     mark("weights on device")
 
+    pe_cache = None
+    if cfg.model.generator.arch == "dusty_v2":  # hoisted PE pyramid (r5)
+        pe_cache = jax.device_put(
+            jax.jit(lambda v, a: G.apply(v, None, a, return_pe_cache=True))(
+                g_vars, angle_d
+            )
+        )
+
     @jax.jit
     def gen_clouds(z):
-        img = G.apply(g_vars, z, angle_d, gumbel_noise=fixed_logistic)["image"]
+        kw = {} if pe_cache is None else {"pe_cache": pe_cache}
+        img = G.apply(g_vars, z, angle_d, gumbel_noise=fixed_logistic, **kw)["image"]
         inv = jnp.clip(tanh_to_sigmoid(img), 0, 1)
         pts = coord.convert(inv, "inv_depth_norm", "point_set") / coord.max_depth
         return downsample_point_clouds(pts, args.num_points)
@@ -147,18 +158,26 @@ def main():
     state = {}
 
     def run_matrix(name, a, b):
+        saved = out_dir / f"M_{name}.npy"
+        if args.resume and saved.exists():
+            mats[name] = np.load(saved)
+            log({"matrix": name, "resumed": True, "pairs": mats[name].size})
+            return
         t_start = time.time()
         state.update(last_sync_t=t_start, last_sync_pairs=0, t_start=t_start)
 
         def progress(done, total, last_val):
             now = time.time()
             if now - state["last_sync_t"] >= args.sync_every_s or done >= total:
-                jax.block_until_ready(last_val)  # true throughput checkpoint
+                np.asarray(last_val)  # true throughput checkpoint: DATA fetch —
+                # block_until_ready can return unfenced on this tunnel (r5)
                 now = time.time()
                 dp = done - state["last_sync_pairs"]
+                dt_i = max(now - state["last_sync_t"], 1e-6)  # final sync can land
+                # in the same timestamp as a just-completed periodic one
                 log({"matrix": name, "pairs": done, "total": total,
-                     "pairs_per_s_interval": round(dp / (now - state["last_sync_t"]), 1),
-                     "pairs_per_s_cum": round(done / (now - state["t_start"]), 1)})
+                     "pairs_per_s_interval": round(dp / dt_i, 1),
+                     "pairs_per_s_cum": round(done / max(now - state["t_start"], 1e-6), 1)})
                 state.update(last_sync_t=now, last_sync_pairs=done)
             if time.time() - T0 > args.budget_s:
                 raise _BudgetExceeded(f"{name}: {done}/{total} pairs")

@@ -20,7 +20,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
-def main():
+def run_semseg_bench(config="configs/semseg/sim2real_w_gan_noise_dustyv2.yaml",
+                     batch=40, iters=20, no_crf=False, dtype=None, no_donate=False):
+    """Time the exact train_semseg.py step on the attached device; returns the
+    record dict. Importable (bench.py embeds it in the driver record)."""
     from dusty_gan_v2_tpu.utils.jax_cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -37,16 +40,11 @@ def main():
     from dusty_gan_v2_tpu.utils.config import load_config
     from train_semseg import MODALITY_CH, build_model
 
-    parser = argparse.ArgumentParser()
-    parser.add_argument(
-        "--config", default="configs/semseg/sim2real_w_gan_noise_dustyv2.yaml"
-    )
-    parser.add_argument("--batch", type=int, default=40)
-    parser.add_argument("--iters", type=int, default=20)
-    parser.add_argument("--no_crf", action="store_true")
-    parser.add_argument("--dtype", default=None, help="compute dtype, e.g. bfloat16")
-    parser.add_argument("--no_donate", action="store_true")
-    args = parser.parse_args()
+    class args:  # keep the original body unchanged below
+        pass
+
+    args.config, args.batch, args.iters = config, batch, iters
+    args.no_crf, args.dtype, args.no_donate = no_crf, dtype, no_donate
 
     cfg = load_config(args.config)
     if args.no_crf:
@@ -163,7 +161,7 @@ def main():
     params, batch_stats, opt_state, loss, _conf = step(
         params, batch_stats, opt_state, batch, jax.random.PRNGKey(1), np.uint32(0)
     )
-    jax.block_until_ready(loss)
+    jax.device_get(loss)  # data-fetch fence: block_until_ready can return unfenced on this tunnel (r5)
 
     t0 = time.perf_counter()
     enq = []
@@ -173,7 +171,7 @@ def main():
             params, batch_stats, opt_state, batch, jax.random.PRNGKey(2), np.uint32(2 + i)
         )
         enq.append(round(1e3 * (time.perf_counter() - te), 1))
-    jax.block_until_ready(loss)
+    jax.device_get(loss)  # data-fetch fence: block_until_ready can return unfenced on this tunnel (r5)
     dt = (time.perf_counter() - t0) / args.iters
     print("# enqueue_ms:", enq, "cache:", step._cache_size(), file=sys.stderr)
 
@@ -201,6 +199,22 @@ def main():
         "mfu_pct": round(100 * flops / dt / peak, 2) if flops and peak else None,
         "device": jax.devices()[0].device_kind,
     }
+    return rec
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--config", default="configs/semseg/sim2real_w_gan_noise_dustyv2.yaml"
+    )
+    parser.add_argument("--batch", type=int, default=40)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--no_crf", action="store_true")
+    parser.add_argument("--dtype", default=None, help="compute dtype, e.g. bfloat16")
+    parser.add_argument("--no_donate", action="store_true")
+    a = parser.parse_args()
+    rec = run_semseg_bench(config=a.config, batch=a.batch, iters=a.iters,
+                           no_crf=a.no_crf, dtype=a.dtype, no_donate=a.no_donate)
     print(json.dumps(rec))
 
 

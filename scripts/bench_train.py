@@ -48,6 +48,9 @@ def main():
                              "variance)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize G blocks / D resblocks (HBM relief)")
+    parser.add_argument("--ab_pecache", action="store_true",
+                        help="time --only with the hoisted PE pyramid on/off/on/off "
+                             "IN ONE PROCESS (r5; Trainer.use_pe_cache)")
     parser.add_argument("--ab_shift", action="store_true",
                         help="time --only with the fractional-W-shift formulation "
                              "matmul/gather/matmul/gather IN ONE PROCESS "
@@ -77,13 +80,13 @@ def main():
         nonlocal state
         # warm up / compile this step variant
         state, m = t.step(state, batch, jax.random.PRNGKey(1), iteration0)
-        jax.block_until_ready(m)
+        jax.device_get(m)  # data-fetch fence: block_until_ready can return unfenced on this tunnel (r5)
         t0 = time.perf_counter()
         for i in range(args.iters):
             state, m = t.step(
                 state, batch, jax.random.PRNGKey(2 + i), iteration0 + i * 48
             )
-        jax.block_until_ready(m)
+        jax.device_get(m)  # data-fetch fence: block_until_ready can return unfenced on this tunnel (r5)
         dt = (time.perf_counter() - t0) / args.iters
         # FLOPs of the jitted variant via XLA cost analysis
         blur_sigma, dropout_ratio = t.warmup_params(iteration0)
@@ -96,6 +99,7 @@ def main():
             lowered = fn.lower(
                 state, batch, jax.random.PRNGKey(0), np.uint32(iteration0),
                 jnp.asarray(0.999, jnp.float32), jnp.asarray(0.0, jnp.float32), blur,
+                t.pe_cache_for(state),
             )
             ca = lowered.compile().cost_analysis()
             if isinstance(ca, (list, tuple)):
@@ -138,6 +142,15 @@ def main():
             timed(it, f"{name}[shift_{mode}]")
         _shift.set_shift_impl("matmul")
         return
+    if args.ab_pecache:
+        name = args.only or "adv_only_steady"
+        it = variants[name]
+        for mode in ("on", "off", "on2", "off2"):
+            t = Trainer(cfg, mesh=mesh)
+            t.use_pe_cache = t.use_pe_cache and not mode.startswith("off")
+            state = t.init_state(jax.random.PRNGKey(0))
+            timed(it, f"{name}[pecache_{mode}]")
+        return
     if args.ab_blurconv:
         import os
 
@@ -160,7 +173,7 @@ def main():
         with jax.profiler.trace(args.profile):
             for i in range(3):
                 state, m = t.step(state, batch, jax.random.PRNGKey(50 + i), 3)
-            jax.block_until_ready(m)
+            jax.device_get(m)  # data-fetch fence: block_until_ready can return unfenced on this tunnel (r5)
         print(f"# xprof trace written to {args.profile}")
 
 

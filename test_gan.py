@@ -117,14 +117,26 @@ def main():
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
     repl = NamedSharding(mesh, P())
 
-    @jax.jit
-    def generate(z):
-        o = G.apply(g_vars, z, angle, gumbel_noise=fixed_logistic)
-        return o["image"]
-
     g_vars = jax.device_put(g_vars, repl)
     angle = jax.device_put(angle, repl)
     fixed_logistic = jax.device_put(fixed_logistic, repl)
+
+    # hoisted PE pyramid (r5): constants of the fixed sensor grid — computed once
+    # per run instead of inside all ~n/batch generate dispatches
+    pe_cache = None
+    if cfg.model.generator.arch == "dusty_v2":
+        pe_cache = jax.device_put(
+            jax.jit(lambda v, a: G.apply(v, None, a, return_pe_cache=True))(
+                g_vars, angle
+            ),
+            repl,
+        )
+
+    @jax.jit
+    def generate(z):
+        kw = {} if pe_cache is None else {"pe_cache": pe_cache}
+        o = G.apply(g_vars, z, angle, gumbel_noise=fixed_logistic, **kw)
+        return o["image"]
 
     @jax.jit
     def to_outputs(img_tanh):

@@ -115,6 +115,32 @@ class TestDustyV2Generator:
         flat = jax.tree_util.tree_leaves(new_state["stats"])
         assert len(flat) > 5
 
+    def test_pe_cache_exactness(self, g_v2):
+        """The hoisted PE pyramid (return_pe_cache -> pe_cache) is bit-identical
+        to the in-call computation, in eval and in train (azim_shift rotation
+        coefficients still computed per sample from the frozen freqs)."""
+        G, variables, angle = g_v2
+        cache = G.apply(variables, None, angle, return_pe_cache=True)
+        assert isinstance(cache, tuple) and cache[0] is not None
+        z = jax.random.normal(jax.random.PRNGKey(2), (2, 64))
+        noise = jax.random.logistic(jax.random.PRNGKey(7), (2, 1, *RES))
+        o_ref = G.apply(variables, z, angle, truncation_psi=0.7, gumbel_noise=noise)
+        o_cached = G.apply(variables, z, angle, truncation_psi=0.7,
+                           gumbel_noise=noise, pe_cache=cache)
+        for k in ("image", "raydrop_logit", "w"):
+            np.testing.assert_array_equal(np.asarray(o_ref[k]), np.asarray(o_cached[k]))
+
+        rngs = {"gumbel": jax.random.PRNGKey(3), "styles": jax.random.PRNGKey(4),
+                "aug": jax.random.PRNGKey(5)}
+        o_t, st_t = G.apply(variables, z, angle, train=True, rngs=rngs,
+                            mutable=["stats"])
+        o_tc, st_tc = G.apply(variables, z, angle, train=True, rngs=rngs,
+                              mutable=["stats"], pe_cache=cache)
+        np.testing.assert_array_equal(np.asarray(o_t["image"]), np.asarray(o_tc["image"]))
+        for a, b in zip(jax.tree_util.tree_leaves(st_t),
+                        jax.tree_util.tree_leaves(st_tc)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_truncation_psi(self, g_v2):
         G, variables, angle = g_v2
         z = jax.random.normal(jax.random.PRNGKey(2), (2, 64))

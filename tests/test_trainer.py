@@ -201,6 +201,33 @@ class TestTrainStep:
         assert half["image"].dtype == jnp.float32
         assert float(jnp.abs(half["image"] - full["image"]).max()) < 1e-3
 
+    def test_pe_cache_step_exactness(self, trainer_and_state):
+        """The hoisted PE pyramid leaves the training step exact: one full-reg
+        step (pl+r1+ada at iteration 4) with and without the cache produces
+        equal params/stats/metrics up to fp reassociation (the two step
+        variants are DIFFERENT compiled programs, so XLA's fusion order may
+        differ by ~1 ULP; the direct-apply test in test_models.py, where the
+        program pair matches, asserts bitwise equality)."""
+        t, state = trainer_and_state
+        assert t.use_pe_cache
+        t2 = Trainer(tiny_cfg(), mesh=t.mesh, angle=make_angle(RES))
+        t2.use_pe_cache = False  # before any step build: use_pc is baked per-Trainer
+        rng = np.random.RandomState(3)
+        batch = synth_batch(rng, t.batch_size, RES)
+        s1, m1 = t.step(fresh(state), batch, jax.random.PRNGKey(9), 4)
+        s2, m2 = t2.step(fresh(state), batch, jax.random.PRNGKey(9), 4)
+        for k in m1:
+            np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
+                                       rtol=2e-5, atol=2e-6, err_msg=k)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params_G),
+                        jax.tree_util.tree_leaves(s2.params_G)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.stats_G),
+                        jax.tree_util.tree_leaves(s2.stats_G)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
+
     def test_no_retrace_across_chained_steps(self, trainer_and_state):
         """State avals must be stable across a step: any weak_type / aval drift
         between init_state and step outputs makes the second chained step a jit
