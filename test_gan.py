@@ -56,6 +56,9 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--pointnet_ckpt", default=None)
     parser.add_argument("--dataset_root", default=None)
+    parser.add_argument("--prune_missing", action="store_true",
+                        help="skip split-table frames absent on disk (partial / "
+                             "synthetic datasets); defaults to the ckpt cfg value")
     parser.add_argument("--out", default=None, help="write scores JSON here")
     args = parser.parse_args()
     metrics = args.metrics.split(",")
@@ -181,7 +184,8 @@ def main():
         root = args.dataset_root or cfg.dataset.root
         ds = KITTIRaw(root=root, split=split, shape=(H, W),
                       min_depth=cfg.dataset.min_depth, max_depth=cfg.dataset.max_depth,
-                      prune_missing=bool(cfg.dataset.get("prune_missing", False)))
+                      prune_missing=args.prune_missing
+                      or bool(cfg.dataset.get("prune_missing", False)))
         imgs, pts, feats = [], [], []
 
         @jax.jit
