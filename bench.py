@@ -184,14 +184,22 @@ def _gan_train_rate(deadline: float):
     import jax
     import jax.numpy as jnp
 
+    from __graft_entry__ import _angle
     from dusty_gan_v2_tpu.parallel import make_mesh
     from dusty_gan_v2_tpu.training import Trainer
     from dusty_gan_v2_tpu.utils.config import load_config
 
+    if time.monotonic() > deadline - 120:
+        # the train-step compile alone can take minutes cold: refuse to start it
+        # without margin, or the watchdog kills the child before the PRIMARY
+        # sampling record ever prints
+        raise TimeoutError("insufficient budget before the train-step compile")
     root = os.path.dirname(os.path.abspath(__file__))
     cfg = load_config(os.path.join(root, "configs", "gans", "dusty_v2_bf16.yaml"))
     B = int(cfg.training.batch_size)
-    t = Trainer(cfg, mesh=make_mesh(jax.devices()[:1]))
+    res_cfg = tuple(cfg.model.generator.synthesis_kwargs.resolution)
+    # explicit angle: Trainer's default resolves data/coords/* relative to cwd
+    t = Trainer(cfg, mesh=make_mesh(jax.devices()[:1]), angle=_angle(res_cfg))
     state = t.init_state(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     res = t.resolution

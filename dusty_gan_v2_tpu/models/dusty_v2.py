@@ -383,6 +383,25 @@ class SynthesisNetwork(nn.Module):
             pyramid.insert(0, angle)
         return pyramid
 
+    def _block_kwargs(self, i, s, res_i, dtypes, ch):
+        """SINGLE source of truth for per-block construction: used by both the
+        main forward loop and the pe_cache builder pass, so the two can never
+        desynchronize on kwargs or the use_pe gating."""
+        return dict(
+            in_ch=ch(i - 1) if i != 0 else 0,
+            mid_ch=ch(i),
+            out_ch=tuple(self.out_ch),
+            mod_ch=self.in_ch,
+            resolution=(int(res_i[0]), int(res_i[1])),
+            up=s,
+            use_noise=self.use_noise,
+            use_pe=s > 1 or i == 0,
+            pe_type=self.pe_type,
+            pe_scale_offset=tuple(self.pe_scale_offset),
+            ring=self.ring,
+            dtype=dtypes[i],
+        )
+
     def _pe_cache_pass(self, angle, scales, ch):
         """Build the per-block PE volumes once for a fixed angle grid (feed the
         result back as `pe_cache` to skip the pyramid + sin/cos work per call).
@@ -394,23 +413,11 @@ class SynthesisNetwork(nn.Module):
         out = []
         for i, s in enumerate(scales):
             res_i = res_i * s
-            if not (s > 1 or i == 0):  # mirrors the main loop's use_pe
+            kw = self._block_kwargs(i, s, res_i, dtypes, ch)
+            if not kw["use_pe"]:
                 out.append(None)
                 continue
-            blk = SynthesisBlock(
-                in_ch=ch(i - 1) if i != 0 else 0,
-                mid_ch=ch(i),
-                out_ch=tuple(self.out_ch),
-                mod_ch=self.in_ch,
-                resolution=(int(res_i[0]), int(res_i[1])),
-                up=s,
-                use_noise=self.use_noise,
-                pe_type=self.pe_type,
-                pe_scale_offset=tuple(self.pe_scale_offset),
-                ring=self.ring,
-                dtype=dtypes[i],
-                name=f"b{i}",
-            )
+            blk = SynthesisBlock(**kw, name=f"b{i}")
             out.append(blk(None, None, None, pyramid[i], return_pe_cache=True))
         return out
 
@@ -471,21 +478,8 @@ class SynthesisNetwork(nn.Module):
         )
         for i, s in enumerate(scales):
             res_i = res_i * s
-            blk = blk_cls(
-                in_ch=ch(i - 1) if i != 0 else 0,
-                mid_ch=ch(i),
-                out_ch=tuple(self.out_ch),
-                mod_ch=self.in_ch,
-                resolution=(int(res_i[0]), int(res_i[1])),
-                up=s,
-                use_noise=self.use_noise,
-                use_pe=s > 1 or i == 0,
-                pe_type=self.pe_type,
-                pe_scale_offset=tuple(self.pe_scale_offset),
-                ring=self.ring,
-                dtype=dtypes[i],
-                name=f"b{i}",
-            )
+            blk = blk_cls(**self._block_kwargs(i, s, res_i, dtypes, ch),
+                          name=f"b{i}")
             fn = None if fixed_noise is None else fixed_noise[i]
             h, skip = blk(
                 h, skip, (ws[:, wi], ws[:, wi + 1], ws[:, wi + 2]), pyramid[i],
@@ -569,6 +563,22 @@ class Generator(nn.Module, GeneratorMixin):
             ),
             logistic_noise=gumbel_noise,
         )
+
+
+def build_pe_cache(G, variables, angle, sharding=None):
+    """Precompute the per-block Fourier-PE pyramid for a fixed sensor grid.
+
+    The ONE canonical builder (Trainer, test_gan, bench/eval scripts all route
+    through here): returns None for generator archs without the pe_cache
+    contract, otherwise the tuple to feed as ``G.apply(..., pe_cache=cache)``.
+    `variables` needs only the "consts" collection. With `sharding`, the cache
+    is committed there (e.g. replicated over a mesh)."""
+    if not isinstance(G, Generator):
+        return None
+    cache = jax.jit(lambda v, a: G.apply(v, None, a, return_pe_cache=True))(
+        variables, angle
+    )
+    return cache if sharding is None else jax.device_put(cache, sharding)
 
 
 class ResidualBlock(nn.Module):

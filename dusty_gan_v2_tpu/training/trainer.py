@@ -193,6 +193,7 @@ class Trainer:
             and not _os.environ.get("DUSTY_TPU_DISABLE_PECACHE")
         )
         self._pe_cache = None
+        self._pe_cache_sig = None
 
         self._step_cache: Dict[Tuple[bool, bool, bool], Callable] = {}
 
@@ -515,21 +516,26 @@ class Trainer:
     def pe_cache_for(self, state: GANTrainState):
         """Per-run PE pyramid (see __init__): computed ONCE from the state's
         frozen consts + the fixed angle grid, then reused by every step. The
-        consts never change within a run; call invalidate_pe_cache() if a state
-        with different consts is swapped in mid-run."""
+        consts never change within a run (training never writes them; donation
+        aliases the same values through). A structural consts change (different
+        arch/config) triggers an automatic rebuild; a VALUE swap with identical
+        structure (e.g. hot-swapping a different-seed checkpoint into a live
+        Trainer) is not detectable without per-step device reads — call
+        invalidate_pe_cache() after any such swap."""
         if not self.use_pe_cache:
             return None
-        if self._pe_cache is None:
-            build = jax.jit(
-                lambda consts, angle: self.G.apply(
-                    {"params": {}, "consts": consts}, None, angle,
-                    return_pe_cache=True,
-                )
+        from ..models import build_pe_cache
+
+        sig = jax.tree_util.tree_structure(state.consts_G), tuple(
+            (l.shape, str(l.dtype))
+            for l in jax.tree_util.tree_leaves(state.consts_G)
+        )
+        if self._pe_cache is None or sig != self._pe_cache_sig:
+            self._pe_cache = build_pe_cache(
+                self.G, {"params": {}, "consts": state.consts_G}, self.angle,
+                sharding=jax.sharding.NamedSharding(self.mesh, P()),
             )
-            self._pe_cache = jax.device_put(
-                build(state.consts_G, self.angle),
-                jax.sharding.NamedSharding(self.mesh, P()),
-            )
+            self._pe_cache_sig = sig
         return self._pe_cache
 
     def invalidate_pe_cache(self):

@@ -67,6 +67,28 @@ def main():
 
     T0 = time.time()
 
+    if args.resume and all(
+        (out_dir / f"M_{n}.npy").exists() for n in ("rr", "rg", "gg")
+    ):
+        # scores-only rerun: every matrix is on disk, the clouds are dead —
+        # skip the whole generate+FPS stage (ckpt load, compile, 128 batches)
+        mats = {n: np.load(out_dir / f"M_{n}.npy") for n in ("rr", "rg", "gg")}
+        from dusty_gan_v2_tpu.metrics.cov_mmd_1nna import (
+            _compute_cov_mmd, _compute_nna,
+        )
+
+        scores = {f"{k}-emd": v for k, v in _compute_cov_mmd(mats["rg"]).items()}
+        for k, v in _compute_nna(mats["rr"], mats["rg"], mats["gg"], k=1).items():
+            scores[f"1-nn-{k}-emd"] = v
+        summary = {"completed_matrices": sorted(mats), "resumed_all": True,
+                   "num_subsample": args.num_subsample,
+                   "num_points": args.num_points,
+                   "pairwise_batch": args.pairwise_batch, "scores": scores}
+        with open(out_dir / "summary.json", "w") as f:
+            json.dump(summary, f, indent=2)
+        log({"summary": summary})
+        return
+
     # ---- build the two 2048-cloud sets through the production pipeline ----
     from dusty_gan_v2_tpu.geometry import CoordBridge
     from dusty_gan_v2_tpu.metrics import downsample_point_clouds
@@ -118,13 +140,9 @@ def main():
     angle_d = jax.device_put(jnp.asarray(angle))
     mark("weights on device")
 
-    pe_cache = None
-    if cfg.model.generator.arch == "dusty_v2":  # hoisted PE pyramid (r5)
-        pe_cache = jax.device_put(
-            jax.jit(lambda v, a: G.apply(v, None, a, return_pe_cache=True))(
-                g_vars, angle_d
-            )
-        )
+    from dusty_gan_v2_tpu.models import build_pe_cache
+
+    pe_cache = build_pe_cache(G, g_vars, angle_d)  # hoisted PE pyramid (r5)
 
     @jax.jit
     def gen_clouds(z):

@@ -53,11 +53,9 @@ def main():
         jnp.zeros((2, 512)), angle,
     )
     variables = jax.device_put(variables)
-    cache = jax.device_put(
-        jax.jit(lambda v, a: G.apply(v, None, a, return_pe_cache=True))(
-            variables, angle
-        )
-    )
+    from dusty_gan_v2_tpu.models import build_pe_cache
+
+    cache = jax.device_put(build_pe_cache(G, variables, angle))
     cache_bytes = sum(int(np.prod(c.shape)) * c.dtype.itemsize
                       for c in cache if c is not None)
     print(json.dumps({"pe_cache_mb": round(cache_bytes / 2**20, 1),

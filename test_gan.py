@@ -126,14 +126,9 @@ def main():
 
     # hoisted PE pyramid (r5): constants of the fixed sensor grid — computed once
     # per run instead of inside all ~n/batch generate dispatches
-    pe_cache = None
-    if cfg.model.generator.arch == "dusty_v2":
-        pe_cache = jax.device_put(
-            jax.jit(lambda v, a: G.apply(v, None, a, return_pe_cache=True))(
-                g_vars, angle
-            ),
-            repl,
-        )
+    from dusty_gan_v2_tpu.models import build_pe_cache
+
+    pe_cache = build_pe_cache(G, g_vars, angle, sharding=repl)
 
     @jax.jit
     def generate(z):
