@@ -171,6 +171,7 @@ class TestTrainStep:
         s2, m2 = fn_full(
             fresh(state), batch, key, np.uint32(it),
             np.float32(t.ema_decay(it)), np.float32(0.0), np.zeros((1,), np.float32),
+            t.pe_cache_for(state),
         )
         for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
