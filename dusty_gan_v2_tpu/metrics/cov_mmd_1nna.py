@@ -89,38 +89,52 @@ def _pairwise_distance(
     # both point sets live on device ONCE (replicated). Each chunk's flat pair
     # indices are computed ON DEVICE from one int32 scalar (the chunk start):
     # shipping the two (chunk,) index vectors per chunk through the tunnel (r2
-    # design) cost two host->device uploads per dispatch, measured at ~35% of
-    # the at-scale 1-NNA-EMD wall-clock (r4 run: 1441.6 pairs/s vs the 2207
-    # pairs/s kernel microbench; see scripts/bench_emd_dispatch.py). The tail
-    # chunk clamps its indices to total-1 (duplicate pairs, sliced off on the
-    # host) so every dispatch shares ONE compiled executable. Results stay on
-    # device until the end so the pipeline never blocks on a per-chunk download.
+    # design) cost two host->device uploads per dispatch. The tail chunk clamps
+    # its indices to total-1 (duplicate pairs, masked by the final slice) so
+    # every dispatch shares ONE compiled executable. Each chunk's values are
+    # accumulated ON DEVICE into one flat (padded) matrix buffer
+    # (dynamic_update_slice with donation), and each full matrix leaves the
+    # device in a SINGLE download: the former one-fetch-per-chunk drain cost
+    # ~30 ms/fetch through the tunnel — ~63 s per 2048^2 EMD matrix and the
+    # dominant share of the 512^2x3 1-NNA-CD stage (r5 measurements).
     total = B1 * B2
+    n_chunks = (total + chunk - 1) // chunk
+    padded = n_chunks * chunk  # updates never hit dynamic_update_slice clamping
 
-    def _chunk_vals(pa, pb, start, f):
+    def _chunk_step(acc, pa, pb, start, f):
         idx = start + jnp.arange(chunk, dtype=jnp.int32)
         idx = jnp.minimum(idx, total - 1)
         idx = jax.lax.with_sharding_constraint(idx, sharding)
-        return f(pa[idx // B2], pb[idx % B2])
+        vals = f(pa[idx // B2], pb[idx % B2]).astype(jnp.float32)
+        acc = jax.lax.dynamic_update_slice(acc, vals, (start,))
+        # tiny scalar alongside the big buffer: a cheap execution fence for
+        # progress checkpoints (block_until_ready is unreliable on this tunnel)
+        return acc, vals[-1]
 
     jitted = {
-        m: jax.jit(lambda pa, pb, start, f=_FNS[m]: _chunk_vals(pa, pb, start, f))
+        m: jax.jit(
+            lambda acc, pa, pb, start, f=_FNS[m]: _chunk_step(acc, pa, pb, start, f),
+            donate_argnums=(0,),
+        )
         for m in metrics
     }
-    out = {m: np.zeros((B1, B2), np.float32) for m in metrics}
-    p1 = jax.device_put(np.asarray(pcs_1), repl)
-    p2 = jax.device_put(np.asarray(pcs_2), repl)
-    pending = []
+    # device_put is a NO-OP for already-committed device arrays (callers doing
+    # several matrices over the same sets upload once); np.asarray on a jax
+    # array would force a download first, so only numpy-ify host inputs
+    p1 = jax.device_put(
+        pcs_1 if isinstance(pcs_1, jax.Array) else np.asarray(pcs_1), repl
+    )
+    p2 = jax.device_put(
+        pcs_2 if isinstance(pcs_2, jax.Array) else np.asarray(pcs_2), repl
+    )
+    accs = {m: jax.device_put(np.zeros((padded,), np.float32), repl) for m in metrics}
     for start in range(0, total, chunk):
-        valid = min(start + chunk, total) - start
+        fence = None
         for m in metrics:
-            pending.append((m, start, valid, jitted[m](p1, p2, np.int32(start))))
-        if progress is not None and pending:
-            progress(start + valid, total, pending[-1][-1])
-    for m, start, valid, vals in pending:
-        idx = np.arange(start, start + valid)
-        out[m][idx // B2, idx % B2] = np.asarray(vals)[:valid]
-    return out
+            accs[m], fence = jitted[m](accs[m], p1, p2, np.int32(start))
+        if progress is not None and fence is not None:
+            progress(min(start + chunk, total), total, fence)
+    return {m: np.asarray(accs[m])[:total].reshape(B1, B2) for m in metrics}
 
 
 def _compute_cov_mmd(M_rg: np.ndarray) -> Dict[str, float]:
@@ -173,6 +187,15 @@ def compute_cov_mmd_1nna(
     pcs_gen, pcs_ref, batch_size, metrics=("cd", "emd", "dcd"), verbose=True
 ) -> Dict[str, float]:
     assert isinstance(metrics, tuple)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import make_mesh
+
+    # both sets on device ONCE for all three matrices (the per-matrix
+    # device_put below is then a no-op instead of a fresh ~MBs upload)
+    repl = NamedSharding(make_mesh(), P())
+    pcs_ref = jax.device_put(np.asarray(pcs_ref), repl)
+    pcs_gen = jax.device_put(np.asarray(pcs_gen), repl)
     results: Dict[str, float] = {}
     M_rr = _pairwise_distance(pcs_ref, pcs_ref, batch_size, metrics, verbose)
     M_rg = _pairwise_distance(pcs_ref, pcs_gen, batch_size, metrics, verbose)

@@ -169,6 +169,16 @@ def main():
     log({"stage": "generate+fps", "sec": round(time.time() - t, 1),
          "clouds": 2 * args.num_subsample, "pts": args.num_points})
 
+    # one upload each for all three matrices (committed device arrays make the
+    # per-matrix device_put inside _pairwise_distance a no-op)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dusty_gan_v2_tpu.parallel import make_mesh
+
+    repl = NamedSharding(make_mesh(), P())
+    pcs_gen = jax.device_put(pcs_gen, repl)
+    pcs_ref = jax.device_put(pcs_ref, repl)
+
     # ---- the three timed matrices, production path ----
     from dusty_gan_v2_tpu.metrics.cov_mmd_1nna import (
         _compute_cov_mmd, _compute_nna, _pairwise_distance,
