@@ -136,21 +136,33 @@ def _supervise(extra_argv):
         _fail("backend init timeout: device acquisition never completed "
               "(TPU tunnel down?) — exiting early instead of eating the driver window")
 
-    # phase 2: wait for the single JSON result line
+    # phase 2: wait for result lines. The child may emit the record TWICE — a
+    # sampling-only snapshot as soon as it is measured, then the upgraded full
+    # record (train/semseg extras) at the end. The parent prints exactly ONE
+    # line to stdout: the LATEST record seen when the child finishes or the
+    # deadline fires — so a slow-compile overrun in the extras (observed when
+    # the remote compile service is degraded) degrades to the sampling-only
+    # record instead of losing the whole run.
     deadline = time.monotonic() + run_budget
+    best = None
     while True:
         line = child.next_line(deadline)
         if line is None:
-            if child.proc.poll() is not None:
-                child.kill()
-                _fail(f"child exited rc={child.proc.returncode} without a result line")
             child.kill()
+            if best is not None:
+                print(best, flush=True)
+                return
+            if child.proc.poll() is not None:
+                _fail(f"child exited rc={child.proc.returncode} without a result line")
             _fail(f"bench run timeout: no result within {run_budget:.0f}s after READY")
-        if line.startswith("{") and '"metric"' in line:
-            print(line, flush=True)
-            child.kill()  # don't linger on backend teardown (tunnel hangs there too)
-            return
-        print(line, file=sys.stderr, flush=True)
+        elif line.startswith("{") and '"metric"' in line:
+            best = line
+            if '"final"' in line:  # the upgraded record: done, don't wait further
+                print(best, flush=True)
+                child.kill()  # don't linger on backend teardown (tunnel hangs too)
+                return
+        else:
+            print(line, file=sys.stderr, flush=True)
 
 
 # ---------------------------------------------------------------------------- child
@@ -339,16 +351,25 @@ def run_bench(batch: int = 128):
         "device": dev.device_kind,
     }
 
+    # snapshot the PRIMARY sampling record immediately: if an extra below blows
+    # through the watchdog deadline (e.g. a degraded remote compile service
+    # turning the warm multi-minute train compile into a >15 min one), the
+    # supervisor prints this snapshot instead of losing the whole run.
+    print(json.dumps(record), flush=True)
+
     # training throughput, driver-visible (VERDICT r4 #2). Each extra is
     # budget-guarded and best-effort: a failure/timeout leaves a reason string
     # instead of silently dropping the primary sampling record.
     del out, variables, zs, z0, noise0  # release sampling HBM before B=128 training
+    if os.environ.get("BENCH_SIMULATE_SLOW_EXTRAS"):  # watchdog self-test hook
+        time.sleep(3600)
     if not os.environ.get("BENCH_SKIP_EXTRAS"):  # sampling-only A/B runs set this
         for name, fn in (("train", _gan_train_rate), ("semseg", _semseg_train_rate)):
             try:
                 record.update(fn(run_deadline))
             except Exception as e:  # noqa: BLE001 — record and move on
                 record[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+    record["final"] = True  # upgraded record: supervisor stops waiting on this
     print(json.dumps(record), flush=True)
 
 
